@@ -1,0 +1,116 @@
+"""Typed configuration — the TPU-native replacement for the reference's ROS
+parameter server (reference: launch/SRBD_kangaroo_line_feet.launch:16-33 and
+~20 `rospy.get_param` call sites in python/prb.py:142-150,174 and
+python/isrbd_example.py:174-177,358).
+
+All gains live in a frozen dataclass so that problem construction is pure;
+gains that the reference mutates online (`orientation_tracking_gain`,
+`Wo`) are *parameters* of the OCP instead (node-indexed arrays), matching the
+reference's compile-once/mutate-params contract (SURVEY.md §3.5).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class SRBDConfig:
+    """Static configuration of the SRBD/LIP MPC problems.
+
+    Field provenance (reference file:line):
+      ns, T                  dsrbd_example.py:30-31
+      contact_model,
+      number_of_legs         launch/SRBD_kangaroo_line_feet.launch:16-17
+      r_tracking_gain        prb.py:142
+      rdot_tracking_gain     prb.py:145
+      w_tracking_gain        prb.py:146
+      rel_position_gain      prb.py:147
+      force_switch_weight    prb.py:148
+      min_qddot_gain         prb.py:149
+      min_f_gain             prb.py:150
+      zmp_tracking_gain      prb.py:361
+      friction_cone_coefficient  prb.py:174
+      force_scaling          prb.py:98
+      lip_height (0.88)      prb.py:317  (eta2 = 9.81/0.88)
+      hz                     dsrbd_example.py:48
+      max_contact_force      isrbd_example.py:174
+      rz_tracking_gain (isrbd)   isrbd_example.py:229
+    """
+
+    # horizon
+    ns: int = 20
+    T: float = 1.0
+
+    # contact topology: nc = number_of_legs * contact_model
+    contact_model: int = 2
+    number_of_legs: int = 2
+
+    # cost gains (defaults = reference defaults)
+    r_tracking_gain: float = 1e3
+    rdot_tracking_gain: float = 1e4
+    w_tracking_gain: float = 1e4
+    rel_position_gain: float = 1e4
+    force_switch_weight: float = 1e2
+    min_qddot_gain: float = 1e0
+    min_f_gain: float = 1e-2
+    zmp_tracking_gain: float = 1e3
+    rz_tracking_gain_isrbd: float = 2e3
+
+    # physics
+    friction_cone_coefficient: float = 0.8
+    force_scaling: float = 1000.0
+    gravity: float = 9.81
+    lip_height: float = 0.88
+
+    # runtime
+    hz: float = 10.0
+    max_contact_force: float = 1000.0
+    max_contact_velocity: float = 10.0
+
+    # numerics
+    dtype: jnp.dtype = jnp.float32
+
+    @property
+    def nc(self) -> int:
+        return self.number_of_legs * self.contact_model
+
+    @property
+    def dt(self) -> float:
+        return self.T / self.ns
+
+    @property
+    def eta2(self) -> float:
+        """LIP natural frequency squared (prb.py:317)."""
+        return self.gravity / self.lip_height
+
+
+@dataclasses.dataclass(frozen=True)
+class DDPOptions:
+    """MS-DDP solver options, mirroring the observable `pyddp.DdpSolverOptions`
+    surface (reference ddp.py:14-35) plus the example overrides
+    (dsrbd_example.py:56-58: max_iters=100, alpha_converge_threshold=1e-12,
+    beta=1e-3; adapter defaults ddp.py:20-29)."""
+
+    max_iters: int = 100
+    alpha_0: float = 1.0
+    alpha_converge_threshold: float = 1e-12
+    line_search_decrease_factor: float = 0.5
+    beta: float = 1e-3                 # Armijo sufficient-decrease parameter
+    cost_reduction_ths: float = 1e-9   # stop when relative cost reduction below
+    mu0: float = 1e-6                  # Levenberg regularization on Quu
+    constraint_weight: float = 1e6     # equality-constraint penalty (ddp.py:181)
+    # TPU-specific: maximum backtracking steps per iteration (bounds the
+    # line-search while_loop; 2^-40 < 1e-12 covers the reference threshold)
+    max_line_search_steps: int = 40
+
+
+DEFAULT_CONFIG = SRBDConfig()
+DEFAULT_DDP_OPTIONS = DDPOptions()
+
+
+def tuple3(x) -> Tuple[float, float, float]:
+    return (float(x[0]), float(x[1]), float(x[2]))

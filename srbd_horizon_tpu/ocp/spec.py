@@ -1,0 +1,108 @@
+"""The OCP container — TPU-native replacement for Horizon's
+`problem.Problem` + variable/function containers (reference prb.py:21 and
+the Horizon framework, SURVEY.md §2.2 X6).
+
+Design stance (SURVEY.md §7.1): instead of a symbolic graph compiled into
+per-node CasADi functions, an OCP here is a handful of *plain jittable
+functions* plus static metadata. Derivatives come from JAX AD inside the
+solver; per-node variation flows through a node-indexed parameter pytree
+(the reference's compile-once / mutate-params contract, SURVEY.md §3.5).
+
+Contract:
+  - `params` is a dict name -> (ns+1, dim) array. The solver slices row n
+    and passes the resulting dict `p` to every stage callable. Node masks
+    for cost terms are themselves parameter rows (0/1), so "which nodes a
+    term is active on" (Horizon's `nodes=` argument, prb.py:184-204) is
+    data, not control flow — XLA-friendly and mutable per tick.
+  - `stage_residual(x, u, p)` returns the stacked cost-residual vector for
+    one interior node; total stage cost is its squared norm (the reference
+    builds L_n as Σ sumsqr(residual) — ddp.py:183-189).
+  - `terminal_residual(x, p)` likewise for node ns (ddp.py:216-226; note
+    the reference's terminal cost contains NO constraint penalty).
+  - `stage_eq(x, u, p)` / `terminal_eq(x, p)` are equality-constraint
+    stacks (ddp.py:42-48 partition). MS-DDP penalizes them
+    (ddp.py:190-196); GN-SQP enforces them.
+  - `stage_ineq(x, u, p)` returns g(x,u,p) with static bounds
+    (ineq_lb, ineq_ub) — friction cones etc. (isrbd_example.py:312-318).
+  - `step(x, u, p, dt)` is the discrete dynamics for one node
+    (ddp.py:228-230 Euler; RK2 for the NLP path prb.py:113).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, Optional
+
+import jax.numpy as jnp
+
+from srbd_horizon_tpu.ocp.layout import VarLayout
+
+
+def _zero_vec(*_args) -> jnp.ndarray:
+    return jnp.zeros((0,))
+
+
+@dataclasses.dataclass(frozen=True)
+class OCP:
+    """A discrete-time optimal control problem over ns+1 nodes."""
+
+    ns: int
+    dt: float
+    state_layout: VarLayout
+    input_layout: VarLayout
+
+    # dynamics: discrete step x_{n+1} = step(x_n, u_n, p_n, dt)
+    step: Callable[..., jnp.ndarray]
+    # continuous dynamics (for simulation / alternative integrators)
+    xdot: Callable[..., jnp.ndarray]
+
+    # cost residual stacks
+    stage_residual: Callable[..., jnp.ndarray]
+    terminal_residual: Callable[..., jnp.ndarray]
+
+    # constraint stacks
+    stage_eq: Callable[..., jnp.ndarray] = _zero_vec
+    terminal_eq: Callable[..., jnp.ndarray] = _zero_vec
+    stage_ineq: Callable[..., jnp.ndarray] = _zero_vec
+    ineq_lb: Optional[jnp.ndarray] = None
+    ineq_ub: Optional[jnp.ndarray] = None
+
+    # template parameter pytree: dict name -> (ns+1, dim) array
+    params: Dict[str, jnp.ndarray] = dataclasses.field(default_factory=dict)
+
+    # model constants closed over by the callables (exposed for telemetry)
+    constants: Dict[str, Any] = dataclasses.field(default_factory=dict)
+
+    @property
+    def nx(self) -> int:
+        return self.state_layout.total
+
+    @property
+    def nu(self) -> int:
+        return self.input_layout.total
+
+    def params_at(self, params: Dict[str, jnp.ndarray], n) -> Dict[str, jnp.ndarray]:
+        """Row n of every parameter array (the per-node dict the stage
+        callables receive)."""
+        return {k: v[n] for k, v in params.items()}
+
+    def stage_cost(self, x, u, p, penalty_weight: float = 0.0) -> jnp.ndarray:
+        """L_n = ‖r‖² (+ w ‖h‖² when penalizing equalities) — ddp.py:179-214."""
+        r = self.stage_residual(x, u, p)
+        cost = jnp.sum(r * r)
+        if penalty_weight:
+            h = self.stage_eq(x, u, p)
+            cost = cost + penalty_weight * jnp.sum(h * h)
+        return cost
+
+    def terminal_cost(self, x, p) -> jnp.ndarray:
+        """L_N = ‖r_term‖² — ddp.py:216-226 (no constraint penalty)."""
+        r = self.terminal_residual(x, p)
+        return jnp.sum(r * r)
+
+
+def node_mask(ns: int, start: int, stop: int, dtype=jnp.float32) -> jnp.ndarray:
+    """(ns+1,) 0/1 mask for Horizon-style `nodes=range(start, stop)`
+    activation sets (e.g. prb.py:184 `nodes=range(1, ns+1)`)."""
+    idx = jnp.arange(ns + 1)
+    return ((idx >= start) & (idx < stop)).astype(dtype)

@@ -1,0 +1,26 @@
+"""Test harness configuration.
+
+Runs the whole suite on CPU with 8 virtual devices (the standard JAX
+fake-backend idiom for testing pod code without a pod — SURVEY.md §4) and
+with x64 enabled so float64 parity oracles are exact. The framework itself is
+dtype-parameterized; production runs use f32/bf16 on TPU.
+
+Note: this environment's TPU plugin (axon) force-selects itself via
+`jax.config.update("jax_platforms", "axon,cpu")` at interpreter startup
+(sitecustomize), so the JAX_PLATFORMS env var alone is not enough — we
+override the config value after importing jax, before any backend
+initializes. XLA_FLAGS must still be set before the CPU client exists.
+"""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
