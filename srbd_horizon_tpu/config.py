@@ -106,6 +106,12 @@ class DDPOptions:
     # TPU-specific: maximum backtracking steps per iteration (bounds the
     # line-search while_loop; 2^-40 < 1e-12 covers the reference threshold)
     max_line_search_steps: int = 40
+    # Multiple-shooting merit: line search decides on φ = J + ν·Σ‖defect‖²
+    # (the defect term contracts exactly by (1−α)² per step, so it is
+    # predicted analytically). ν plays the exact-penalty-multiplier role for
+    # the shooting-gap equality constraints; the reference's pyddp tracks a
+    # "defect contraction rate" for the same purpose (README.md:6).
+    defect_weight: float = 1e5
 
 
 DEFAULT_CONFIG = SRBDConfig()

@@ -198,11 +198,22 @@ class MSDDP:
         mu = jnp.asarray(opts.mu0, state.X.dtype)
         ks, Ks, dV1, dV2 = self._backward(lin, mu)
 
+        # Multiple-shooting merit: φ = J + ν·D with D = Σ‖defect‖². The
+        # forward pass contracts every defect by exactly (1−α), so the
+        # defect part of the merit after a trial step is (1−α)²·ν·D —
+        # analytic, no re-evaluation needed. Without this term the raw-cost
+        # Armijo can never leave an infeasible warm start (its J is
+        # artificially low because the trajectory ignores the dynamics).
+        nu = jnp.asarray(opts.defect_weight, state.X.dtype)
+        D = jnp.sum(lin["d"] * lin["d"])
+        merit0 = state.cost + nu * D
+
         class LS(NamedTuple):
             alpha: jnp.ndarray
             X: jnp.ndarray
             U: jnp.ndarray
             cost: jnp.ndarray
+            merit: jnp.ndarray
             accepted: jnp.ndarray
             steps: jnp.ndarray
 
@@ -212,21 +223,24 @@ class MSDDP:
             )
 
         def ls_body(s: LS):
+            a = s.alpha
             Xn, Un = self._rollout(
-                x0, state.X, state.U, ks, Ks, lin["d"], params, s.alpha
+                x0, state.X, state.U, ks, Ks, lin["d"], params, a
             )
             new_cost = self.total_cost(Xn, Un, params)
-            expected = -(s.alpha * dV1 + s.alpha**2 * dV2)
-            # Armijo sufficient decrease (ddp.py beta; Tassa-style ratio)
-            suff = (state.cost - new_cost) >= opts.beta * jnp.maximum(
+            new_merit = new_cost + nu * (1.0 - a) ** 2 * D
+            # expected merit reduction: GN model for J + exact defect part
+            expected = -(a * dV1 + a**2 * dV2) + (2.0 * a - a**2) * nu * D
+            suff = (merit0 - new_merit) >= opts.beta * jnp.maximum(
                 expected, 1e-16
             )
-            ok = suff & jnp.isfinite(new_cost)
+            ok = suff & jnp.isfinite(new_merit)
             return LS(
-                alpha=jnp.where(ok, s.alpha, s.alpha * opts.line_search_decrease_factor),
+                alpha=jnp.where(ok, a, a * opts.line_search_decrease_factor),
                 X=jnp.where(ok, Xn, s.X),
                 U=jnp.where(ok, Un, s.U),
                 cost=jnp.where(ok, new_cost, s.cost),
+                merit=jnp.where(ok, new_merit, s.merit),
                 accepted=ok,
                 steps=s.steps + 1,
             )
@@ -236,14 +250,15 @@ class MSDDP:
             X=state.X,
             U=state.U,
             cost=state.cost,
+            merit=merit0,
             accepted=jnp.asarray(False),
             steps=jnp.asarray(0, jnp.int32),
         )
         ls = jax.lax.while_loop(ls_cond, ls_body, init)
 
-        cost_red = state.cost - ls.cost
+        merit_red = merit0 - ls.merit
         converged = (~ls.accepted) | (
-            cost_red <= opts.cost_reduction_ths * jnp.maximum(state.cost, 1.0)
+            merit_red <= opts.cost_reduction_ths * jnp.maximum(merit0, 1.0)
         )
         return _IterState(
             X=jnp.where(ls.accepted, ls.X, state.X),

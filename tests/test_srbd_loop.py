@@ -1,0 +1,92 @@
+"""SRBD closed-loop MPC — the dsrbd_example.py capability (SURVEY.md §7.3
+second milestone): quaternion states, contact forces, force-switch costs,
+Newton–Euler telemetry."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from srbd_horizon_tpu.config import DDPOptions, SRBDConfig
+from srbd_horizon_tpu.models.kangaroo import kangaroo_line_feet
+from srbd_horizon_tpu.problems.srbd import build_srbd_problem
+from srbd_horizon_tpu.runtime.loop import (
+    MPCLoop,
+    standing_schedule,
+    walking_schedule,
+)
+from srbd_horizon_tpu.solvers.msddp import MSDDP
+from srbd_horizon_tpu.wpg import WalkingPatternGenerator
+
+
+def _make_loop(max_iters=30):
+    cfg = SRBDConfig(dtype=jnp.float64)
+    prob = build_srbd_problem(cfg, kangaroo_line_feet())
+    solver = MSDDP(
+        prob.ocp,
+        DDPOptions(max_iters=max_iters, alpha_converge_threshold=1e-12, beta=1e-3),
+    )
+    wpg = WalkingPatternGenerator.build(
+        c_init_z=float(prob.initial_foot_position[0, 2]),
+        nodes=cfg.ns,
+        dtype=jnp.float64,
+    )
+    loop = MPCLoop(
+        solver=solver, wpg=wpg, srbd_constants=prob.ocp.constants
+    )
+    return prob, loop
+
+
+class TestSRBDSolve:
+    def test_single_solve_standing(self):
+        """One solve from nominal: forces ≈ weight/4 upward, CoM stays."""
+        prob, loop = _make_loop(max_iters=100)
+        sol = loop.solver.solve(
+            loop.solver.init(prob.initial_state, U0=jnp.tile(
+                prob.static_input[None], (prob.ocp.ns, 1))),
+            prob.initial_state,
+            prob.ocp.params,
+        )
+        d = loop.solver.solution_dict(sol)
+        assert float(sol.defect_norm) < 1e-6
+        # vertical force ≈ m g / 4 per contact (in kN units)
+        fz_expect = prob.mass * 9.81 / prob.force_scaling / 4
+        for i in range(4):
+            fz = np.asarray(d[f"f{i}"][:, 2])
+            np.testing.assert_allclose(fz, fz_expect, atol=0.05)
+        # quaternion stays near identity
+        np.testing.assert_allclose(
+            np.asarray(d["o"][-1]), [0, 0, 0, 1], atol=1e-2
+        )
+
+
+class TestClosedLoopSRBD:
+    def test_standing(self):
+        prob, loop = _make_loop()
+        carry = loop.init(prob.initial_state)
+        T = 30
+        carry, out = jax.jit(loop.run)(carry, standing_schedule(T, jnp.float64))
+        X = np.asarray(out.x)
+        assert np.all(np.isfinite(X))
+        np.testing.assert_allclose(X[-1, 0:3], np.asarray(prob.com), atol=0.02)
+        # quaternion remains unit & near identity
+        np.testing.assert_allclose(X[-1, 3:7], [0, 0, 0, 1], atol=5e-3)
+        # Newton–Euler fidelity signal stays small (the /srbd_constraint
+        # oracle, dsrbd_example.py:163-175); units: kN / kN·m
+        assert float(np.max(np.abs(np.asarray(out.srbd_residual)))) < 0.5
+
+    def test_walking(self):
+        """Stable SRBD walk with forward progress and healthy solver."""
+        prob, loop = _make_loop()
+        carry = loop.init(prob.initial_state)
+        T = 120
+        sched = walking_schedule(T, vx=0.3, start=10, dtype=jnp.float64)
+        carry, out = jax.jit(loop.run)(carry, sched)
+        X = np.asarray(out.x)
+        assert np.all(np.isfinite(X))
+        r = X[:, 0:3]
+        assert np.all(np.abs(r[:, 2] - 0.88) < 0.08), r[:, 2].min()
+        assert r[-1, 0] > 0.8, f"final CoM x = {r[-1, 0]}"
+        # orientation stays upright through the walk
+        quats = X[:, 3:7]
+        assert np.all(np.abs(quats[:, :3]) < 0.2)
+        assert float(np.max(out.defect_norm)) < 1e-4
