@@ -1,0 +1,98 @@
+"""Benchmark: batched SRBD MPC throughput on the available accelerator.
+
+Prints ONE JSON line:
+  {"metric": "srbd_mpc_solves_per_s", "value": N, "unit": "solve/s",
+   "vs_baseline": N / 10.0, ...}
+
+Baseline semantics: the reference publishes no numbers (BASELINE.md); its
+only implicit performance fact is the 10 Hz real-time replanning budget of a
+single serial solver instance (dsrbd_example.py:48) ⇒ baseline = 10 solves/s.
+`vs_baseline` is therefore (batched solves/s) / 10.
+
+The measured unit of work is one full warm-started MPC tick of the
+dsrbd_example.py loop (reference-shift + WPG advance + MS-DDP solve with the
+online iteration budget + Euler self-simulation), vmapped over a scenario
+batch — i.e. end-to-end replans/s, not just inner-loop FLOPs.
+"""
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main(batch: int = 1024, n_ticks: int = 10, ns: int = 20,
+         max_iters: int = 5) -> None:
+    from srbd_horizon_tpu.config import DDPOptions, SRBDConfig
+    from srbd_horizon_tpu.models.kangaroo import kangaroo_line_feet
+    from srbd_horizon_tpu.problems.srbd import build_srbd_problem
+    from srbd_horizon_tpu.runtime.loop import MPCLoop, TickInput
+    from srbd_horizon_tpu.solvers.msddp import MSDDP
+    from srbd_horizon_tpu.wpg import WalkingPatternGenerator
+
+    dtype = jnp.float32
+    cfg = SRBDConfig(ns=ns, dtype=dtype)
+    prob = build_srbd_problem(cfg, kangaroo_line_feet())
+    # online MPC iteration budget: the reference caps online solves at 5
+    # iterations (launch/SRBD_kangaroo_line_feet.launch:20)
+    solver = MSDDP(
+        prob.ocp,
+        DDPOptions(max_iters=max_iters, alpha_converge_threshold=1e-12,
+                   beta=1e-3),
+    )
+    wpg = WalkingPatternGenerator.build(c_init_z=0.0, nodes=cfg.ns, dtype=dtype)
+    loop = MPCLoop(solver=solver, wpg=wpg, srbd_constants=prob.ocp.constants)
+
+    B = batch
+    key = jax.random.key(0)
+    x0 = jnp.tile(prob.initial_state[None], (B, 1))
+    x0 = x0 + 0.005 * jax.random.normal(key, x0.shape, dtype)
+    carries = jax.vmap(loop.init)(x0)
+
+    vtick = jax.jit(jax.vmap(loop.tick))
+
+    def make_inp(t):
+        return TickInput(
+            action=jnp.ones(B, jnp.int32),
+            rdot_ref=jnp.tile(jnp.array([0.2, 0.0, 0.0], dtype)[None], (B, 1)),
+            w_ref=jnp.zeros((B, 3), dtype),
+        )
+
+    # warmup: compile + 2 ticks to reach warm-started steady state
+    carries, out = vtick(carries, make_inp(0))
+    carries, out = vtick(carries, make_inp(1))
+    jax.block_until_ready(carries)
+
+    t0 = time.perf_counter()
+    for t in range(n_ticks):
+        carries, out = vtick(carries, make_inp(t))
+    jax.block_until_ready(carries)
+    elapsed = time.perf_counter() - t0
+
+    ticks_per_s = n_ticks / elapsed
+    solves_per_s = ticks_per_s * B
+    finite = bool(np.all(np.isfinite(np.asarray(out.x))))
+    max_defect = float(np.max(np.asarray(out.defect_norm)))
+
+    print(json.dumps({
+        "metric": "srbd_mpc_solves_per_s",
+        "value": round(solves_per_s, 1),
+        "unit": "solve/s",
+        "vs_baseline": round(solves_per_s / 10.0, 1),
+        "batch": B,
+        "ns": ns,
+        "max_iters": max_iters,
+        "tick_latency_ms": round(1e3 / ticks_per_s, 2),
+        "realtime_ok": bool(1e3 / ticks_per_s <= 100.0),
+        "finite": finite,
+        "max_defect": max_defect,
+        "device": str(jax.devices()[0]),
+    }))
+
+
+if __name__ == "__main__":
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
+    main(batch=batch)

@@ -1,0 +1,115 @@
+"""Device-mesh distribution of batched MPC solves.
+
+The reference is a single-threaded serial process (SURVEY.md §2.3 —
+explicitly no parallelism of any kind); the distributed scenario sweep is a
+new first-class capability of this framework: thousands of MPC instances
+(varied gaits / terrain / initial states) solve in parallel across a TPU
+slice.
+
+Design (scaling-book recipe): one mesh axis `scenario` over all devices;
+every batched array is sharded on its leading axis; the per-scenario solve
+is `vmap`ped; `shard_map` places shards on devices so each chip runs its
+slice of the batch with zero cross-chip traffic in the hot loop. Cross-chip
+collectives (`psum`/`pmax` over ICI) appear only in the telemetry reduction
+— mean cost / max defect over the fleet — mirroring how the reference pushes
+metrics to ROS topics (SURVEY.md §5.8) but at pod scale.
+
+Multi-host: call `jax.distributed.initialize()` before `make_mesh()`; the
+mesh spans all processes' devices and `shard_map` handles DCN boundaries.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+SCENARIO_AXIS = "scenario"
+
+
+def make_mesh(devices=None, axis: str = SCENARIO_AXIS) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    return Mesh(np.array(devices), (axis,))
+
+
+def shard_batch(mesh: Mesh, tree, axis: str = SCENARIO_AXIS):
+    """Place every leaf's leading (batch) axis across the mesh."""
+    sharding = NamedSharding(mesh, P(axis))
+    return jax.tree.map(lambda a: jax.device_put(a, sharding), tree)
+
+
+def sharded_batched_solve(solver, mesh: Mesh, axis: str = SCENARIO_AXIS):
+    """Batched MS-DDP solve, sharded over the scenario axis.
+
+    Returns `f(sols, x0s, params_batch) -> (sols, metrics)` where metrics
+    are globally reduced over ICI (psum/pmax inside shard_map)."""
+
+    vsolve = jax.vmap(solver.solve)
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis)),
+        out_specs=(P(axis), P()),
+        check_vma=False,
+    )
+    def _solve_shard(sols, x0s, params):
+        out = vsolve(sols, x0s, params)
+        n_total = jax.lax.psum(jnp.asarray(out.cost.shape[0], out.cost.dtype), axis)
+        metrics = dict(
+            mean_cost=jax.lax.psum(jnp.sum(out.cost), axis) / n_total,
+            max_defect=jax.lax.pmax(jnp.max(out.defect_norm), axis),
+            mean_iters=jax.lax.psum(
+                jnp.sum(out.iterations.astype(out.cost.dtype)), axis
+            ) / n_total,
+            frac_converged=jax.lax.psum(
+                jnp.sum(out.converged.astype(out.cost.dtype)), axis
+            ) / n_total,
+        )
+        return out, metrics
+
+    return jax.jit(_solve_shard)
+
+
+def sharded_batched_tick(loop, mesh: Mesh, axis: str = SCENARIO_AXIS):
+    """One closed-loop MPC tick for a sharded scenario fleet.
+
+    `f(carries, tick_inputs) -> (carries, outs, metrics)`; per-scenario
+    state (sim state, plan, params, gait phase) stays resident on its chip
+    across ticks — no host round-trips in the control loop."""
+
+    vtick = jax.vmap(loop.tick)
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis)),
+        out_specs=(P(axis), P(axis), P()),
+        check_vma=False,
+    )
+    def _tick_shard(carries, inps):
+        carries, outs = vtick(carries, inps)
+        n_total = jax.lax.psum(
+            jnp.asarray(outs.cost.shape[0], outs.cost.dtype), axis
+        )
+        metrics = dict(
+            mean_cost=jax.lax.psum(jnp.sum(outs.cost), axis) / n_total,
+            max_defect=jax.lax.pmax(jnp.max(outs.defect_norm), axis),
+            max_srbd_residual=jax.lax.pmax(
+                jnp.max(jnp.abs(outs.srbd_residual)), axis
+            ),
+        )
+        return carries, outs, metrics
+
+    return jax.jit(_tick_shard)
+
+
+def replicate_params(params: Dict[str, jnp.ndarray], batch: int):
+    """Tile a problem's parameter pytree along a new scenario axis."""
+    return jax.tree.map(
+        lambda a: jnp.tile(a[None], (batch,) + (1,) * a.ndim), params
+    )

@@ -284,7 +284,18 @@ class MSDDP:
 
     def solve(self, sol: DDPSolution, x0, params) -> DDPSolution:
         """One full MS-DDP solve (ddp.py:96-106). Pure and jittable; vmap
-        over a leading batch axis of (sol, x0, params) for scenario sweeps."""
+        over a leading batch axis of (sol, x0, params) for scenario sweeps.
+
+        Traced under full-f32 matmul precision: TPU matmuls default to
+        bf16 inputs, which has too few mantissa bits for the 1e6-penalty
+        Riccati algebra (SURVEY.md §7.4 item 1) — with bf16 the Cholesky
+        factors are garbage, every line search fails, and defects never
+        close. These are tiny (≤61-wide) matrices; full precision costs
+        nothing measurable."""
+        with jax.default_matmul_precision("highest"):
+            return self._solve_impl(sol, x0, params)
+
+    def _solve_impl(self, sol: DDPSolution, x0, params) -> DDPSolution:
         opts = self.opts
         cost0 = self.total_cost(sol.X, sol.U, params)
         state = _IterState(
