@@ -106,6 +106,19 @@ class DDPOptions:
     # TPU-specific: maximum backtracking steps per iteration (bounds the
     # line-search while_loop; 2^-40 < 1e-12 covers the reference threshold)
     max_line_search_steps: int = 40
+    # Line-search execution strategy (TPU-specific; result-equivalent):
+    #   "parallel":   evaluate all K=max_line_search_steps candidate step
+    #                 sizes α₀·factorᵏ in ONE batched rollout and take the
+    #                 largest accepted — constant latency, no sequential
+    #                 backtracking loop, no batch stragglers.
+    #   "sequential": classic backtracking while_loop (reference semantics
+    #                 ddp.py:26-28 literally).
+    # Both accept the same α whenever sequential terminates within K trials.
+    line_search_mode: str = "parallel"
+    # Number of simultaneous α candidates in parallel mode (α down to
+    # α₀·factor^(width-1); a step that would only be accepted below that is
+    # treated as line-search failure, i.e. convergence)
+    parallel_line_search_width: int = 10
     # Multiple-shooting merit: line search decides on φ = J + ν·Σ‖defect‖²
     # (the defect term contracts exactly by (1−α)² per step, so it is
     # predicted analytically). ν plays the exact-penalty-multiplier role for

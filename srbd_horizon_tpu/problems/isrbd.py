@@ -1,0 +1,273 @@
+"""ISRBD full-NLP walking OCP — TPU-native rebuild of the inline problem in
+isrbd_example.py:42-353 (the reference's full-fidelity IPOPT/gnsqp path).
+
+Differences from the SRBD-DDP problem (problems/srbd.py):
+  - accelerations are INPUTS (rddot, wdot created as input variables,
+    isrbd_example.py:109-110), dynamics is a pure double integrator with
+    floating base (isrbd_example.py:131); physics enters as CONSTRAINTS:
+      * SRBD Newton–Euler constraint on nodes 0..9 (isrbd_example.py:347)
+      * LIP constraint on nodes 10..ns-1 (isrbd_example.py:348) — the
+        hybrid model schedule; the missing `lip.LIP_dynamics` module is
+        reconstructed in models/lip.py
+      * LIP-zone consistency: fixed CoM height + zero angular momentum on
+        nodes 5..ns (isrbd_example.py:352-353)
+  - friction cones are ACTIVE inequality constraints (isrbd_example.py:
+    312-318), forces bounded ±max_contact_force (isrbd_example.py:200)
+  - forces are UNSCALED (no force_scaling here; m and I enter raw,
+    isrbd_example.py:336-344)
+  - transcription: multiple shooting with RK2 (isrbd_example.py:135)
+  - the o_tracking gain `Wo` is a parameter initialized to 0
+    (isrbd_example.py:236-238)
+
+The hybrid model schedule is expressed as 0/1 parameter masks over nodes
+(mask_srbd / mask_lip / mask_lipzone), so the reference's open TODO
+"implement LIP-based model scheduler" (README.md:7) becomes runtime data:
+schedules can be changed per tick or per scenario without recompilation.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict
+
+import jax.numpy as jnp
+import numpy as np
+
+from srbd_horizon_tpu.config import SRBDConfig
+from srbd_horizon_tpu.math.quat import quat_derivative_world
+from srbd_horizon_tpu.models import lip as lip_model
+from srbd_horizon_tpu.models import srbd as srbd_model
+from srbd_horizon_tpu.models.kangaroo import RobotConstants
+from srbd_horizon_tpu.ocp import integrators
+from srbd_horizon_tpu.ocp.layout import VarLayout
+from srbd_horizon_tpu.ocp.spec import OCP, node_mask
+from srbd_horizon_tpu.problems.srbd import linearized_friction_cone_rows
+
+
+@dataclasses.dataclass(frozen=True)
+class ISRBDProblem:
+    ocp: OCP
+    initial_state: jnp.ndarray
+    static_input: jnp.ndarray
+    com: jnp.ndarray
+    initial_foot_position: jnp.ndarray
+    inertia: jnp.ndarray
+    mass: float
+    nc: int
+    contact_model: int
+
+
+def _layouts(nc: int):
+    state_entries = [("r", 3), ("o", 4)]
+    state_entries += [(f"c{i}", 3) for i in range(nc)]
+    state_entries += [("rdot", 3), ("w", 3)]
+    state_entries += [(f"cdot{i}", 3) for i in range(nc)]
+    # input creation order isrbd_example.py:109-126: rddot, wdot, then
+    # (cddot_i, f_i) per contact
+    input_entries = [("rddot", 3), ("wdot", 3)]
+    for i in range(nc):
+        input_entries += [(f"cddot{i}", 3), (f"f{i}", 3)]
+    return VarLayout(state_entries), VarLayout(input_entries)
+
+
+def build_isrbd_problem(
+    cfg: SRBDConfig,
+    robot: RobotConstants,
+    dtype=None,
+    srbd_nodes: int = 10,
+    lipzone_start: int = 5,
+) -> ISRBDProblem:
+    dtype = dtype or cfg.dtype
+    ns, nc, cm = cfg.ns, cfg.nc, cfg.contact_model
+    state_layout, input_layout = _layouts(nc)
+
+    com = jnp.asarray(robot.com, dtype)
+    feet0 = jnp.asarray(robot.foot_positions, dtype)
+    inertia = jnp.asarray(robot.inertia, dtype)
+    m = float(robot.mass)
+
+    # foot-pair indices fpi (isrbd_example.py:277-283)
+    fpi = []
+    for leg in range(cfg.number_of_legs):
+        if cm == 1:
+            fpi.append(leg)
+        else:
+            fpi.append(leg * cm)
+            fpi.append(leg * cm + cm - 1)
+    d1 = feet0[fpi[2], :2] - feet0[fpi[0], :2]  # isrbd_example.py:285
+    d2 = feet0[fpi[3], :2] - feet0[fpi[1], :2]  # isrbd_example.py:288
+
+    sq = np.sqrt
+    w_rz = sq(cfg.rz_tracking_gain_isrbd)      # isrbd_example.py:229
+    w_rdot = sq(cfg.rdot_tracking_gain)
+    w_w = sq(cfg.w_tracking_gain)
+    w_rel = 1e2                                # raw 1e2 (isrbd_example.py:286-290)
+    w_qddot = sq(cfg.min_qddot_gain)
+    w_minf = sq(cfg.min_f_gain)                # unscaled (isrbd_example.py:299)
+
+    def split(x, u):
+        s = srbd_model.split_srbd_state(x, nc)
+        i = dict(
+            rddot=u[0:3],
+            wdot=u[3:6],
+        )
+        rest = u[6:].reshape(nc, 6)
+        i["cddot"] = rest[:, 0:3]
+        i["f"] = rest[:, 3:6]
+        return s, i
+
+    def stage_residual(x, u, p):
+        s, i = split(x, u)
+        mt = p["mask_track"][0]
+        Wo = p["Wo"][0]
+        qddot = jnp.concatenate([i["rddot"], i["wdot"], i["cddot"].reshape(-1)])
+        res = [
+            mt * w_rz * (s["r"][2:3] - com[2]),            # isrbd:231
+            mt * Wo * (s["o"] - jnp.array([0, 0, 0, 1], dtype)),  # isrbd:238
+            mt * w_rdot * (s["rdot"] - p["rdot_ref"]),     # isrbd:245
+            mt * w_w * (s["w"] - p["w_ref"]),              # isrbd:252
+            w_qddot * qddot,                               # isrbd:259
+            w_rel * (-s["c"][fpi[0], 1] + s["c"][fpi[2], 1] - d1[1])[None],
+            w_rel * (-s["c"][fpi[0], 0] + s["c"][fpi[2], 0] - d1[0])[None],
+            w_rel * (-s["c"][fpi[1], 1] + s["c"][fpi[3], 1] - d2[1])[None],
+            w_rel * (-s["c"][fpi[1], 0] + s["c"][fpi[3], 0] - d2[0])[None],
+            (w_minf * i["f"]).reshape(-1),                 # isrbd:299
+        ]
+        return jnp.concatenate(res)
+
+    def terminal_residual(x, p):
+        s = srbd_model.split_srbd_state(x, nc)
+        Wo = p["Wo"][0]
+        res = [
+            w_rz * (s["r"][2:3] - com[2]),
+            Wo * (s["o"] - jnp.array([0, 0, 0, 1], dtype)),
+            w_rdot * (s["rdot"] - p["rdot_ref"]),
+            w_w * (s["w"] - p["w_ref"]),
+            w_rel * (-s["c"][fpi[0], 1] + s["c"][fpi[2], 1] - d1[1])[None],
+            w_rel * (-s["c"][fpi[0], 0] + s["c"][fpi[2], 0] - d1[0])[None],
+            w_rel * (-s["c"][fpi[1], 1] + s["c"][fpi[3], 1] - d2[1])[None],
+            w_rel * (-s["c"][fpi[1], 0] + s["c"][fpi[3], 0] - d2[0])[None],
+        ]
+        return jnp.concatenate(res)
+
+    def stage_eq(x, u, p):
+        s, i = split(x, u)
+        res = []
+        # relative_vel pairs (isrbd_example.py:325-329)
+        for leg in range(cfg.number_of_legs):
+            base = leg * cm
+            for k in range(1, cm):
+                res.append(s["cdot"][base, :2] - s["cdot"][base + k, :2])
+        # cz_tracking (hard constraint here, isrbd_example.py:306)
+        res.append(s["c"][:, 2] - p["c_ref"])
+        # hybrid dynamics constraints
+        I_world = srbd_model.world_inertia(inertia, s["o"])
+        srbd_res = srbd_model.srbd_residual(
+            m, I_world, i["f"], s["r"], i["rddot"], s["c"], s["w"], i["wdot"]
+        )
+        res.append(p["mask_srbd"][0] * srbd_res)           # nodes 0..9
+        lip_res = lip_model.lip_dynamics_residual(
+            m, i["f"], s["r"], i["rddot"], s["c"], eta2=cfg.eta2
+        )
+        res.append(p["mask_lip"][0] * lip_res)             # nodes 10..ns-1
+        # LIP-zone consistency (isrbd_example.py:352-353)
+        res.append(p["mask_lipzone"][0] * (s["r"][2:3] - com[2]))
+        res.append(p["mask_lipzone"][0] * s["w"])
+        return jnp.concatenate(res)
+
+    def terminal_eq(x, p):
+        s = srbd_model.split_srbd_state(x, nc)
+        res = []
+        for leg in range(cfg.number_of_legs):
+            base = leg * cm
+            for k in range(1, cm):
+                res.append(s["cdot"][base, :2] - s["cdot"][base + k, :2])
+        res.append(s["c"][:, 2] - p["c_ref"])
+        res.append(p["mask_lipzone"][0] * (s["r"][2:3] - com[2]))
+        res.append(p["mask_lipzone"][0] * s["w"])
+        return jnp.concatenate(res)
+
+    # inequalities: friction cones (active!) + force box bounds
+    A_fc = jnp.asarray(
+        linearized_friction_cone_rows(cfg.friction_cone_coefficient), dtype
+    )
+    fmax = cfg.max_contact_force
+
+    def stage_ineq(x, u, p):
+        del p
+        _, i = split(x, u)
+        cones = (i["f"] @ A_fc.T).reshape(-1)   # ≤ 0 (isrbd:316-318)
+        fbox = i["f"].reshape(-1)               # ∈ [−fmax, fmax] (isrbd:200)
+        return jnp.concatenate([cones, fbox])
+
+    ineq_ub = jnp.concatenate(
+        [jnp.zeros(nc * 5, dtype), jnp.full((nc * 3,), fmax, dtype)]
+    )
+    ineq_lb = jnp.concatenate(
+        [jnp.full((nc * 5,), -jnp.inf, dtype), jnp.full((nc * 3,), -fmax, dtype)]
+    )
+
+    def xdot(x, u, p):
+        """double_integrator_with_floating_base with input accelerations
+        (isrbd_example.py:131)."""
+        del p
+        s, i = split(x, u)
+        odot = quat_derivative_world(s["o"], s["w"])
+        return jnp.concatenate([
+            s["rdot"], odot, s["cdot"].reshape(-1),
+            i["rddot"], i["wdot"], i["cddot"].reshape(-1),
+        ])
+
+    step = integrators.rk2(xdot)  # isrbd_example.py:135 (RK2 shooting)
+
+    params: Dict[str, jnp.ndarray] = {
+        "rdot_ref": jnp.zeros((ns + 1, 3), dtype),         # isrbd:84-85
+        "w_ref": jnp.zeros((ns + 1, 3), dtype),            # isrbd:89-90
+        "Wo": jnp.zeros((ns + 1, 1), dtype),               # isrbd:236-237
+        "c_ref": jnp.tile(feet0[:, 2], (ns + 1, 1)),       # isrbd:304-305
+        "cdot_switch": jnp.ones((ns + 1, nc), dtype),      # for WPG reuse
+        "mask_track": node_mask(ns, 1, ns + 1, dtype)[:, None],
+        "mask_srbd": node_mask(ns, 0, srbd_nodes, dtype)[:, None],
+        "mask_lip": node_mask(ns, srbd_nodes, ns, dtype)[:, None],
+        "mask_lipzone": node_mask(ns, lipzone_start, ns + 1, dtype)[:, None],
+    }
+
+    ocp = OCP(
+        ns=ns,
+        dt=cfg.dt,
+        state_layout=state_layout,
+        input_layout=input_layout,
+        step=step,
+        xdot=xdot,
+        stage_residual=stage_residual,
+        terminal_residual=terminal_residual,
+        stage_eq=stage_eq,
+        terminal_eq=terminal_eq,
+        stage_ineq=stage_ineq,
+        ineq_lb=ineq_lb,
+        ineq_ub=ineq_ub,
+        params=params,
+        constants=dict(com=com, feet0=feet0, m=m, inertia=inertia),
+    )
+
+    x0 = jnp.concatenate([
+        com, jnp.array([0.0, 0.0, 0.0, 1.0], dtype), feet0.reshape(-1),
+        jnp.zeros(6 + 3 * nc, dtype),
+    ])
+    # static input: zero accelerations, weight/nc upward per contact (raw N)
+    per_contact = jnp.concatenate(
+        [jnp.zeros(3, dtype), jnp.array([0.0, 0.0, m * 9.81 / nc], dtype)]
+    )
+    u0 = jnp.concatenate([jnp.zeros(6, dtype), jnp.tile(per_contact, nc)])
+
+    return ISRBDProblem(
+        ocp=ocp,
+        initial_state=x0,
+        static_input=u0,
+        com=com,
+        initial_foot_position=feet0,
+        inertia=inertia,
+        mass=m,
+        nc=nc,
+        contact_model=cm,
+    )

@@ -192,6 +192,41 @@ class MSDDP:
 
     # ---------- one DDP iteration ----------
 
+    def _parallel_line_search(self, state, x0, params, lin, ks, Ks,
+                              dV1, dV2, nu, D, merit0):
+        """Evaluate all candidate step sizes in one batched rollout and pick
+        the largest accepted α — identical accept/reject rule as the
+        sequential backtracking loop, but constant latency (no data-dependent
+        while_loop, no stragglers across a vmapped batch)."""
+        opts = self.opts
+        K = opts.parallel_line_search_width
+        dtype = state.X.dtype
+        alphas = opts.alpha_0 * (
+            opts.line_search_decrease_factor ** jnp.arange(K, dtype=dtype)
+        )
+
+        def trial(a):
+            Xn, Un = self._rollout(
+                x0, state.X, state.U, ks, Ks, lin["d"], params, a
+            )
+            new_cost = self.total_cost(Xn, Un, params)
+            new_merit = new_cost + nu * (1.0 - a) ** 2 * D
+            expected = -(a * dV1 + a**2 * dV2) + (2.0 * a - a**2) * nu * D
+            ok = (
+                ((merit0 - new_merit) >= opts.beta * jnp.maximum(expected, 1e-16))
+                & jnp.isfinite(new_merit)
+                & (a >= opts.alpha_converge_threshold)
+            )
+            return Xn, Un, new_cost, new_merit, ok
+
+        Xs, Us, costs, merits, oks = jax.vmap(trial)(alphas)
+        any_ok = jnp.any(oks)
+        # first accepted (largest α): argmax returns the first True
+        idx = jnp.argmax(oks)
+        return (
+            Xs[idx], Us[idx], costs[idx], merits[idx], any_ok
+        )
+
     def _iteration(self, state: _IterState, x0, params):
         opts = self.opts
         lin = self._linearize(state.X, state.U, params)
@@ -207,6 +242,22 @@ class MSDDP:
         nu = jnp.asarray(opts.defect_weight, state.X.dtype)
         D = jnp.sum(lin["d"] * lin["d"])
         merit0 = state.cost + nu * D
+
+        if opts.line_search_mode == "parallel":
+            Xn, Un, new_cost, new_merit, accepted = self._parallel_line_search(
+                state, x0, params, lin, ks, Ks, dV1, dV2, nu, D, merit0
+            )
+            merit_red = merit0 - new_merit
+            converged = (~accepted) | (
+                merit_red <= opts.cost_reduction_ths * jnp.maximum(merit0, 1.0)
+            )
+            return _IterState(
+                X=jnp.where(accepted, Xn, state.X),
+                U=jnp.where(accepted, Un, state.U),
+                cost=jnp.where(accepted, new_cost, state.cost),
+                converged=converged,
+                it=state.it + 1,
+            )
 
         class LS(NamedTuple):
             alpha: jnp.ndarray

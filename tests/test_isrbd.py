@@ -1,0 +1,106 @@
+"""ISRBD full-NLP path tests: AL-DDP must produce feasible trajectories —
+active friction cones, force boxes, hybrid SRBD/LIP dynamics constraints,
+LIP-zone consistency (the isrbd_example.py capability, SURVEY.md §7.3
+third milestone)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from srbd_horizon_tpu.config import DDPOptions, SRBDConfig
+from srbd_horizon_tpu.models.kangaroo import kangaroo_line_feet
+from srbd_horizon_tpu.problems.isrbd import build_isrbd_problem
+from srbd_horizon_tpu.problems.srbd import linearized_friction_cone_rows
+from srbd_horizon_tpu.solvers.alddp import ALDDP, ALOptions
+
+
+def _build(outer_iters=6, max_iters=15):
+    cfg = SRBDConfig(dtype=jnp.float64)
+    prob = build_isrbd_problem(cfg, kangaroo_line_feet())
+    solver = ALDDP(
+        prob.ocp,
+        ddp_opts=DDPOptions(
+            max_iters=max_iters, alpha_converge_threshold=1e-12, beta=1e-3,
+            cost_reduction_ths=1e-10,
+        ),
+        al_opts=ALOptions(outer_iters=outer_iters, rho0=1e3, tol=1e-5),
+    )
+    return cfg, prob, solver
+
+
+class TestISRBDOffline:
+    def setup_method(self):
+        self.cfg, self.prob, self.solver = _build()
+        x0 = self.prob.initial_state
+        ns = self.prob.ocp.ns
+        U0 = jnp.tile(self.prob.static_input[None], (ns, 1))
+        st0 = self.solver.init(x0, U0=U0)
+        self.st = jax.jit(self.solver.solve)(st0, x0, self.prob.ocp.params)
+        self.d = self.solver.solution_dict(self.st)
+
+    def test_feasibility(self):
+        """All hard constraints satisfied to AL tolerance."""
+        assert float(self.st.viol) < 1e-3, f"violation {float(self.st.viol)}"
+        assert bool(jnp.all(jnp.isfinite(self.st.sol.X)))
+
+    def test_srbd_constraint_nodes(self):
+        """Newton–Euler holds on the SRBD-zone nodes 0..9
+        (isrbd_example.py:347)."""
+        from srbd_horizon_tpu.models import srbd as srbd_model
+        d = self.d
+        m = self.prob.mass
+        for n in range(0, 10):
+            o = self.st.sol.X[n, 3:7]
+            I_w = srbd_model.world_inertia(jnp.asarray(self.prob.inertia), o)
+            f = jnp.stack([d[f"f{i}"][n] for i in range(4)])
+            c = jnp.stack([d[f"c{i}"][n] for i in range(4)])
+            res = srbd_model.srbd_residual(
+                m, I_w, f, d["r"][n], d["rddot"][n], c, d["w"][n], d["wdot"][n]
+            )
+            assert float(jnp.max(jnp.abs(res))) < 5e-2, (n, np.asarray(res))
+
+    def test_friction_cones(self):
+        """Active linearized cones: A f ≤ tol on every stage node
+        (isrbd_example.py:316-318)."""
+        A = linearized_friction_cone_rows(self.cfg.friction_cone_coefficient)
+        for i in range(4):
+            F = np.asarray(self.d[f"f{i}"])  # (ns, 3)
+            rows = F @ A.T
+            assert rows.max() < 1e-2, (i, rows.max())
+            # unilaterality: fz ≥ -tol
+            assert F[:, 2].min() > -1e-2
+
+    def test_lip_zone(self):
+        """CoM height fixed and zero angular momentum on nodes ≥ 5
+        (isrbd_example.py:352-353)."""
+        r = np.asarray(self.d["r"])
+        w = np.asarray(self.d["w"])
+        np.testing.assert_allclose(
+            r[5:, 2], float(self.prob.com[2]), atol=1e-3
+        )
+        np.testing.assert_allclose(w[5:], 0.0, atol=1e-3)
+
+    def test_force_totals(self):
+        """Standing: vertical forces sum ≈ weight on SRBD nodes."""
+        m = self.prob.mass
+        fz_tot = sum(np.asarray(self.d[f"f{i}"][:, 2]) for i in range(4))
+        np.testing.assert_allclose(fz_tot[:10], m * 9.81, rtol=0.05)
+
+
+class TestISRBDOnline:
+    def test_warm_started_ticks(self):
+        """The online MPC pattern (isrbd_example.py:419-477): warm-started
+        single-outer-iteration solves stay feasible tick over tick."""
+        cfg, prob, solver = _build(outer_iters=6)
+        x0 = prob.initial_state
+        ns = prob.ocp.ns
+        U0 = jnp.tile(prob.static_input[None], (ns, 1))
+        st = solver.solve(solver.init(x0, U0=U0), x0, prob.ocp.params)
+        online = jax.jit(solver.solve_online)
+        for _ in range(5):
+            # open-loop MPC: pin node-1 state as next initial state
+            # (isrbd_example.py:425-431)
+            x0 = st.sol.X[1]
+            st = online(st, x0, prob.ocp.params)
+        assert float(st.viol) < 5e-3
+        assert bool(jnp.all(jnp.isfinite(st.sol.X)))
