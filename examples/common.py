@@ -1,0 +1,78 @@
+"""Shared runner for the example applications (the reference's L5 scripts,
+SURVEY.md §2.1 C5-C7). Headless: the joystick/keyboard teleop of the
+reference (dsrbd_example.py:86-99) is replaced by a declarative motion
+schedule; telemetry goes to .npz/.json instead of ROS topics."""
+
+import argparse
+import pathlib
+import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def parse_args(name: str):
+    ap = argparse.ArgumentParser(description=name)
+    ap.add_argument("--ticks", type=int, default=100)
+    ap.add_argument("--vx", type=float, default=0.3)
+    ap.add_argument("--vy", type=float, default=0.0)
+    ap.add_argument("--walk-start", type=int, default=10)
+    ap.add_argument("--out", type=str, default=f"/tmp/{name}")
+    ap.add_argument("--f64", action="store_true", help="run in float64")
+    ap.add_argument("--cpu", action="store_true", help="force CPU backend")
+    return ap.parse_args()
+
+
+def setup(args):
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    if args.f64:
+        jax.config.update("jax_enable_x64", True)
+    return jnp.float64 if args.f64 else jnp.float32
+
+
+def run_closed_loop(loop, prob, args, dtype):
+    from srbd_horizon_tpu.io.cartesio import CartesianReferenceFormatter
+    from srbd_horizon_tpu.io.telemetry import TelemetryRecorder, export_trajectory_json
+    from srbd_horizon_tpu.runtime.loop import walking_schedule
+
+    carry = loop.init(prob.initial_state)
+    sched = walking_schedule(
+        args.ticks, vx=args.vx, vy=args.vy, start=args.walk_start, dtype=dtype
+    )
+    tick = jax.jit(loop.tick)
+    rec = TelemetryRecorder()
+    ci = CartesianReferenceFormatter(
+        ["left_sole_link", "right_sole_link"], contact_model=prob.contact_model
+    )
+
+    refs_last = None
+    for t in range(args.ticks):
+        inp = jax.tree.map(lambda a: a[t], sched)
+        rec.tick_start()
+        carry, out = tick(carry, inp)
+        jax.block_until_ready(out.x)
+        rec.record(
+            x=out.x, u0=out.u0, cost=out.cost, defect_norm=out.defect_norm,
+            srbd_residual=out.srbd_residual, iterations=out.iterations,
+        )
+        sol = loop.solver.solution_dict(carry.sol)
+        refs_last = ci.make_references(
+            {k: np.asarray(v) for k, v in sol.items()}
+        )
+
+    rec.save(args.out)
+    sol = loop.solver.solution_dict(carry.sol)
+    export_trajectory_json(
+        args.out + "_plan.json",
+        {k: np.asarray(v) for k, v in sol.items()},
+        loop.ocp.dt,
+    )
+    summary = rec.summary()
+    print("summary:", summary)
+    print("final CoM:", np.asarray(carry.x[:3]))
+    print("IK references (node 1):", refs_last)
+    return carry, rec
