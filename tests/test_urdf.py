@@ -1,0 +1,129 @@
+"""URDF constants extraction: pure-Python implementation vs analytic values
+and vs the native C++ tool (tools/urdf_constants). Replaces the reference's
+casadi_kin_dyn startup queries (prb.py:92-96,130-139)."""
+
+import shutil
+import subprocess
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from srbd_horizon_tpu.models.urdf import URDFModel, run_native_tool
+
+REPO = Path(__file__).resolve().parents[1]
+TOOL_DIR = REPO / "tools" / "urdf_constants"
+
+# A two-leg test biped with hand-computable constants:
+#   base: 10 kg box at z=0.8 (after base joint), inertia diag(0.1,0.2,0.3)
+#   two 1 kg point-ish feet hanging 0.8 below the base via revolute hips
+TEST_URDF = """<?xml version="1.0"?>
+<robot name="testbot">
+  <link name="base">
+    <inertial>
+      <origin xyz="0 0 0" rpy="0 0 0"/>
+      <mass value="10.0"/>
+      <inertia ixx="0.1" iyy="0.2" izz="0.3" ixy="0" ixz="0" iyz="0"/>
+    </inertial>
+  </link>
+  <link name="left_foot">
+    <inertial>
+      <origin xyz="0 0 0"/>
+      <mass value="1.0"/>
+      <inertia ixx="0.01" iyy="0.01" izz="0.01" ixy="0" ixz="0" iyz="0"/>
+    </inertial>
+  </link>
+  <link name="right_foot">
+    <inertial>
+      <origin xyz="0 0 0"/>
+      <mass value="1.0"/>
+      <inertia ixx="0.01" iyy="0.01" izz="0.01" ixy="0" ixz="0" iyz="0"/>
+    </inertial>
+  </link>
+  <joint name="left_hip" type="revolute">
+    <parent link="base"/>
+    <child link="left_foot"/>
+    <origin xyz="0 0.1 -0.8" rpy="0 0 0"/>
+    <axis xyz="0 1 0"/>
+  </joint>
+  <joint name="right_hip" type="revolute">
+    <parent link="base"/>
+    <child link="right_foot"/>
+    <origin xyz="0 -0.1 -0.8" rpy="0 0 0"/>
+    <axis xyz="0 1 0"/>
+  </joint>
+</robot>
+"""
+
+
+@pytest.fixture(scope="module")
+def urdf_file(tmp_path_factory):
+    p = tmp_path_factory.mktemp("urdf") / "testbot.urdf"
+    p.write_text(TEST_URDF)
+    return p
+
+
+class TestPythonExtractor:
+    def test_analytic_values(self, urdf_file):
+        model = URDFModel(urdf_file.read_text())
+        c = model.constants([0.0, 0.0], ["left_foot", "right_foot"])
+        assert np.isclose(c["mass"], 12.0)
+        # CoM: (10*0 + 1*(-0.8) + 1*(-0.8))/12 in z
+        np.testing.assert_allclose(c["com"], [0, 0, -1.6 / 12], atol=1e-12)
+        np.testing.assert_allclose(
+            c["frames"]["left_foot"], [0, 0.1, -0.8], atol=1e-12
+        )
+        # inertia: base & feet own inertia + parallel axis terms
+        dz_base = 1.6 / 12
+        dz_foot = 0.8 - 1.6 / 12
+        dy = 0.1
+        ixx = (0.1 + 10 * dz_base**2) + 2 * (0.01 + 1 * (dz_foot**2 + dy**2))
+        np.testing.assert_allclose(c["inertia"][0, 0], ixx, atol=1e-12)
+
+    def test_world_frame_rebase(self, urdf_file):
+        """setWorld semantics (utilities.py:12-32): left foot becomes the
+        origin; contacts land at z=0."""
+        model = URDFModel(urdf_file.read_text())
+        c = model.constants(
+            [0.0, 0.0], ["left_foot", "right_foot"], world_frame="left_foot"
+        )
+        np.testing.assert_allclose(c["frames"]["left_foot"], [0, 0, 0], atol=1e-12)
+        np.testing.assert_allclose(
+            c["frames"]["right_foot"], [0, -0.2, 0], atol=1e-12
+        )
+        # CoM now 0.8 - 1.6/12 above the sole
+        np.testing.assert_allclose(
+            c["com"], [0, -0.1, 0.8 - 1.6 / 12], atol=1e-12
+        )
+
+    def test_joint_motion(self, urdf_file):
+        """Rotating a hip by 90° swings the foot forward."""
+        model = URDFModel(urdf_file.read_text())
+        c = model.constants([np.pi / 2, 0.0], ["left_foot"])
+        np.testing.assert_allclose(
+            c["frames"]["left_foot"], [0, 0.1, -0.8], atol=1e-12
+        )  # origin of joint unchanged (rotation about its own origin)
+
+
+@pytest.mark.skipif(shutil.which("g++") is None, reason="no C++ toolchain")
+class TestNativeTool:
+    @pytest.fixture(scope="class", autouse=True)
+    def build(self):
+        subprocess.run(["make", "-s"], cwd=TOOL_DIR, check=True)
+
+    def test_matches_python(self, urdf_file):
+        model = URDFModel(urdf_file.read_text())
+        for q, wf in [([0.0, 0.0], None), ([0.3, -0.2], "left_foot")]:
+            py = model.constants(q, ["left_foot", "right_foot"], wf)
+            cc = run_native_tool(
+                urdf_file, q, ["left_foot", "right_foot"], wf
+            )
+            assert np.isclose(cc["mass"], py["mass"])
+            np.testing.assert_allclose(cc["com"], py["com"], atol=1e-9)
+            np.testing.assert_allclose(
+                np.array(cc["inertia"]), py["inertia"], atol=1e-9
+            )
+            for f in ("left_foot", "right_foot"):
+                np.testing.assert_allclose(
+                    cc["frames"][f], py["frames"][f], atol=1e-9
+                )
