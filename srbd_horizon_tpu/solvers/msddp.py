@@ -181,7 +181,10 @@ class MSDDP:
         def node(xhat, inp):
             Xn, Un, kn, Kn, dn, pn = inp
             u = Un + alpha * kn + Kn @ (xhat - Xn)
-            xnext = self.ocp.step(xhat, u, pn, dt) + (1.0 - alpha) * dn
+            # multiple-shooting defect contraction: leave (1−α) of the gap
+            # open so that α→0 recovers the current iterate exactly and α=1
+            # yields a dynamically feasible trajectory (d = f(x,u) − x⁺)
+            xnext = self.ocp.step(xhat, u, pn, dt) - (1.0 - alpha) * dn
             return xnext, (xhat, u)
 
         x_final, (Xs, Us) = jax.lax.scan(
