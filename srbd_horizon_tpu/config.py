@@ -118,7 +118,19 @@ class DDPOptions:
     # Number of simultaneous α candidates in parallel mode (α down to
     # α₀·factor^(width-1); a step that would only be accepted below that is
     # treated as line-search failure, i.e. convergence)
-    parallel_line_search_width: int = 10
+    parallel_line_search_width: int = 4
+    # Backward-pass execution (result-equivalent up to rounding):
+    #   "sequential":  classic reverse lax.scan Riccati — ns dependent steps
+    #   "associative": parallel Riccati via lax.associative_scan — ⌈log₂ ns⌉
+    #                  stages of batched (nx×nx) algebra (PAPERS.md:9,
+    #                  "The Parallelization of Riccati Recursion")
+    riccati_mode: str = "sequential"
+    # Forward-pass execution:
+    #   "nonlinear": true MS-DDP rollout (sequential in the horizon)
+    #   "linear":    affine δx recursion via associative scan (SQP-flavored
+    #                Gauss-Newton step; defects re-measured exactly) — no
+    #                sequential dependence on the horizon at all
+    forward_pass: str = "nonlinear"
     # Multiple-shooting merit: line search decides on φ = J + ν·Σ‖defect‖²
     # (the defect term contracts exactly by (1−α)² per step, so it is
     # predicted analytically). ν plays the exact-penalty-multiplier role for

@@ -150,10 +150,13 @@ class MSDDP:
             Qxx = lxx + A.T @ Vxx @ A
             Quu = luu + B.T @ Vxx @ B + mu * I_u
             Qux = lux + B.T @ Vxx @ A
-            # gains via Cholesky (Quu is PSD by GN construction + mu)
+            # gains via Cholesky (Quu is PSD by GN construction + mu);
+            # one factorization, one multi-RHS triangular solve
             chol = jax.scipy.linalg.cho_factor(Quu)
-            k = -jax.scipy.linalg.cho_solve(chol, Qu)
-            K = -jax.scipy.linalg.cho_solve(chol, Qux)
+            kK = -jax.scipy.linalg.cho_solve(
+                chol, jnp.concatenate([Qu[:, None], Qux], axis=1)
+            )
+            k, K = kK[:, 0], kK[:, 1:]
             # value recursion
             Vx_new = Qx + K.T @ Quu @ k + K.T @ Qu + Qux.T @ k
             Vxx_new = Qxx + K.T @ Quu @ K + K.T @ Qux + Qux.T @ K
@@ -168,6 +171,144 @@ class MSDDP:
             (Vx_T, Vxx_T, zero, zero),
             (lin["A"], lin["B"], lin["Jx"], lin["Ju"], lin["rho"], lin["d"]),
             reverse=True,
+        )
+        return ks, Ks, dV1, dV2
+
+    # ---------- parallel (associative-scan) Riccati backward ----------
+
+    def _backward_associative(self, lin, mu):
+        """Backward value recursion as a suffix associative scan —
+        ⌈log₂(ns+1)⌉ stages of batched (nx×nx) algebra instead of ns
+        sequential Riccati steps (PAPERS.md:9; Särkkä-style parallel LQT).
+
+        Element e = (A, b, C, η, J) represents the conditional value map
+            V_n(δx) = ½δxᵀJδx + ηᵀδx
+                      + min_z [ ½(z − Aδx − b)ᵀC⁺(z − Aδx − b) + V_m(z) ]
+        built per node (after eliminating the cost cross-term lux and
+        absorbing the input gradient and multiple-shooting defect into b):
+            R̃ = luu + μI,  Ã = A − B R̃⁻¹ lux
+            J = lxx − luxᵀ R̃⁻¹ lux,  η = lx − luxᵀ R̃⁻¹ lu
+            b = d − B R̃⁻¹ lu,        C = B R̃⁻¹ Bᵀ
+        The terminal node is the constant element (A=0, b=0, C=0, J=Vxxᵀ,
+        η=Vxᵀ). The suffix composition at node n yields (J, η) = (Vxx_n,
+        Vx_n); gains are then recomputed per node in parallel. Only
+        (I + C J)-type solves appear, so singular C (rank ≤ nu) is fine."""
+        nx, nu, ns = self.ocp.nx, self.ocp.nu, self.ocp.ns
+        dtype = lin["rho"].dtype
+        A, B, Jx, Ju, rho, d = (
+            lin["A"], lin["B"], lin["Jx"], lin["Ju"], lin["rho"], lin["d"]
+        )
+
+        # per-node cost quadratics (GN)
+        lx = 2.0 * jnp.einsum("nrx,nr->nx", Jx, rho)
+        lu = 2.0 * jnp.einsum("nru,nr->nu", Ju, rho)
+        lxx = 2.0 * jnp.einsum("nrx,nry->nxy", Jx, Jx)
+        luu = 2.0 * jnp.einsum("nru,nrv->nuv", Ju, Ju)
+        lux = 2.0 * jnp.einsum("nru,nrx->nux", Ju, Jx)
+
+        def chol_solve(Amat, rhs):
+            c = jax.scipy.linalg.cholesky(Amat, lower=True)
+            return jax.scipy.linalg.cho_solve((c, True), rhs)
+
+        Rt = luu + mu * jnp.eye(nu, dtype=dtype)[None]
+        rhs = jnp.concatenate([lu[:, :, None], lux, B.transpose(0, 2, 1)], axis=2)
+        sol = jax.vmap(chol_solve)(Rt, rhs)
+        Ri_lu = sol[:, :, 0]                 # R̃⁻¹ lu          (ns, nu)
+        Ri_lux = sol[:, :, 1 : 1 + nx]       # R̃⁻¹ lux         (ns, nu, nx)
+        Ri_Bt = sol[:, :, 1 + nx :]          # R̃⁻¹ Bᵀ          (ns, nu, nx)
+
+        eA = A - jnp.einsum("nxu,nuy->nxy", B, Ri_lux)
+        eJ = lxx - jnp.einsum("nux,nuy->nxy", lux, Ri_lux)
+        eEta = lx - jnp.einsum("nux,nu->nx", lux, Ri_lu)
+        eB = d - jnp.einsum("nxu,nu->nx", B, Ri_lu)
+        eC = jnp.einsum("nxu,nuy->nxy", B, Ri_Bt)
+
+        # terminal element
+        Vx_T = 2.0 * lin["Jt"].T @ lin["rt"]
+        Vxx_T = 2.0 * lin["Jt"].T @ lin["Jt"]
+        zero_m = jnp.zeros((1, nx, nx), dtype)
+        zero_v = jnp.zeros((1, nx), dtype)
+        elems = dict(
+            A=jnp.concatenate([eA, zero_m]),
+            b=jnp.concatenate([eB, zero_v]),
+            C=jnp.concatenate([eC, zero_m]),
+            eta=jnp.concatenate([eEta, Vx_T[None]]),
+            J=jnp.concatenate([eJ, Vxx_T[None]]),
+        )
+
+        eye = jnp.eye(nx, dtype=dtype)
+
+        def combine(e1, e2):
+            """e1 covers the earlier interval, e2 the suffix toward T."""
+            # M = (I + C₁ J₂)⁻¹ appears as C₁-weighted resolvent
+            CJ = jnp.einsum("...xy,...yz->...xz", e1["C"], e2["J"])
+            M = jnp.linalg.solve(
+                eye + CJ,
+                jnp.concatenate(
+                    [
+                        e1["A"],
+                        e1["C"],
+                        (e1["b"] - jnp.einsum(
+                            "...xy,...y->...x", e1["C"], e2["eta"]
+                        ))[..., None],
+                    ],
+                    axis=-1,
+                ),
+            )
+            MA1 = M[..., :, : e1["A"].shape[-1]]
+            MC1 = M[..., :, e1["A"].shape[-1] : -1]
+            Mb = M[..., :, -1]
+            A12 = jnp.einsum("...xy,...yz->...xz", e2["A"], MA1)
+            b12 = jnp.einsum("...xy,...y->...x", e2["A"], Mb) + e2["b"]
+            C12 = (
+                jnp.einsum(
+                    "...xy,...zy->...xz",
+                    jnp.einsum("...xy,...yz->...xz", e2["A"], MC1),
+                    e2["A"],
+                )
+                + e2["C"]
+            )
+            # dual resolvent: (I + J₂C₁)⁻ᵀ pieces via J₂ M-forms
+            J2MA1 = jnp.einsum("...xy,...yz->...xz", e2["J"], MA1)
+            eta12 = (
+                jnp.einsum(
+                    "...yx,...y->...x",
+                    MA1,
+                    e2["eta"] + jnp.einsum("...xy,...y->...x", e2["J"], e1["b"]),
+                )
+                + e1["eta"]
+            )
+            J12 = (
+                jnp.einsum("...yx,...yz->...xz", e1["A"], J2MA1) + e1["J"]
+            )
+            return dict(A=A12, b=b12, C=C12, eta=eta12, J=J12)
+
+        # reverse=True internally flips the sequence and runs a forward
+        # scan, so the binary op receives (later-interval, earlier-interval)
+        # — swap into combine's (earlier, later) convention.
+        suffix = jax.lax.associative_scan(
+            lambda a, b: combine(b, a), elems, reverse=True, axis=0
+        )
+        Vxx = suffix["J"]       # (ns+1, nx, nx): V at each node
+        Vx = suffix["eta"]      # (ns+1, nx)
+
+        # gains per node, in parallel, from V at n+1
+        Vxx1, Vx1 = Vxx[1:], Vx[1:]
+        Vx_d = Vx1 + jnp.einsum("nxy,ny->nx", Vxx1, d)
+        Qu = lu + jnp.einsum("nxu,nx->nu", B, Vx_d)
+        Qux = lux + jnp.einsum(
+            "nxu,nxy->nuy", B, jnp.einsum("nxy,nyz->nxz", Vxx1, A)
+        )
+        Quu = Rt + jnp.einsum(
+            "nxu,nxv->nuv", B, jnp.einsum("nxy,nyu->nxu", Vxx1, B)
+        )
+        kK = -jax.vmap(chol_solve)(
+            Quu, jnp.concatenate([Qu[:, :, None], Qux], axis=2)
+        )
+        ks, Ks = kK[:, :, 0], kK[:, :, 1:]
+        dV1 = jnp.einsum("nu,nu->", ks, Qu)
+        dV2 = 0.5 * jnp.einsum(
+            "nu,nu->", ks, jnp.einsum("nuv,nv->nu", Quu, ks)
         )
         return ks, Ks, dV1, dV2
 
@@ -193,6 +334,44 @@ class MSDDP:
         Xnew = jnp.concatenate([Xs, x_final[None]], axis=0)
         return Xnew, Us
 
+    def _forward_linear(self, x0, X, U, ks, Ks, lin, params, alpha):
+        """Linearized forward pass — the Gauss-Newton/SQP step:
+            δx₀ = x0 − X₀
+            δxₙ₊₁ = (Aₙ + BₙKₙ) δxₙ + α (Bₙkₙ + dₙ)
+            ûₙ = Uₙ + α kₙ + Kₙ δxₙ
+        An affine recursion, evaluated as an associative scan — zero
+        sequential dependence on the horizon (unlike the nonlinear rollout).
+        The true dynamics gap of the result is re-measured at the next
+        linearization; used with `forward_pass="linear"`."""
+        A, B, d = lin["A"], lin["B"], lin["d"]
+        M = A + jnp.einsum("nxu,nuy->nxy", B, Ks)
+        v = alpha * (jnp.einsum("nxu,nu->nx", B, ks) + d)
+
+        def combine(f, g):
+            """compose affine maps: g ∘ f (f earlier in the horizon)."""
+            Mf, vf = f
+            Mg, vg = g
+            return (
+                jnp.einsum("...xy,...yz->...xz", Mg, Mf),
+                jnp.einsum("...xy,...y->...x", Mg, vf) + vg,
+            )
+
+        Mc, vc = jax.lax.associative_scan(combine, (M, v), axis=0)
+        dx0 = x0 - X[0]
+        # δx at nodes 1..ns from prefix compositions; δx₀ separately
+        dX_tail = jnp.einsum("nxy,y->nx", Mc, dx0) + vc
+        dX = jnp.concatenate([dx0[None], dX_tail], axis=0)
+        Un = U + alpha * ks + jnp.einsum("nuy,ny->nu", Ks, dX[:-1])
+        return X + dX, Un
+
+    def _true_defects(self, X, U, params):
+        ns, dt = self.ocp.ns, self.ocp.dt
+        p_stage = {k: v[:ns] for k, v in params.items()}
+        F = jax.vmap(lambda x, u, p: self.ocp.step(x, u, p, dt))(
+            X[:ns], U, p_stage
+        )
+        return F - X[1:]
+
     # ---------- one DDP iteration ----------
 
     def _parallel_line_search(self, state, x0, params, lin, ks, Ks,
@@ -209,11 +388,19 @@ class MSDDP:
         )
 
         def trial(a):
-            Xn, Un = self._rollout(
-                x0, state.X, state.U, ks, Ks, lin["d"], params, a
-            )
+            if opts.forward_pass == "linear":
+                Xn, Un = self._forward_linear(
+                    x0, state.X, state.U, ks, Ks, lin, params, a
+                )
+                dn = self._true_defects(Xn, Un, params)
+                D_new = jnp.sum(dn * dn)
+            else:
+                Xn, Un = self._rollout(
+                    x0, state.X, state.U, ks, Ks, lin["d"], params, a
+                )
+                D_new = (1.0 - a) ** 2 * D  # exact by construction
             new_cost = self.total_cost(Xn, Un, params)
-            new_merit = new_cost + nu * (1.0 - a) ** 2 * D
+            new_merit = new_cost + nu * D_new
             expected = -(a * dV1 + a**2 * dV2) + (2.0 * a - a**2) * nu * D
             ok = (
                 ((merit0 - new_merit) >= opts.beta * jnp.maximum(expected, 1e-16))
@@ -234,7 +421,10 @@ class MSDDP:
         opts = self.opts
         lin = self._linearize(state.X, state.U, params)
         mu = jnp.asarray(opts.mu0, state.X.dtype)
-        ks, Ks, dV1, dV2 = self._backward(lin, mu)
+        if opts.riccati_mode == "associative":
+            ks, Ks, dV1, dV2 = self._backward_associative(lin, mu)
+        else:
+            ks, Ks, dV1, dV2 = self._backward(lin, mu)
 
         # Multiple-shooting merit: φ = J + ν·D with D = Σ‖defect‖². The
         # forward pass contracts every defect by exactly (1−α), so the
