@@ -1,0 +1,70 @@
+"""Runtime health monitoring and recovery — a capability the reference
+lacks entirely (SURVEY.md §5.3: failure handling is `exit()` on missing
+params; nobody checks `is_converged`, ddp.py:106 vs dsrbd_example.py:135).
+
+For a production MPC fleet the failure modes are: non-finite states
+(solver divergence), defect blow-up (infeasible warm start after a large
+disturbance), and persistent non-convergence. `check` classifies a tick's
+telemetry; `reset_carry` rebuilds a clean solver state in place for the
+affected scenarios only (batched, on device)."""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from srbd_horizon_tpu.runtime.loop import LoopCarry, TickOutput
+
+
+class HealthReport(NamedTuple):
+    healthy: jnp.ndarray        # bool (batched): tick usable
+    finite: jnp.ndarray         # states/inputs finite
+    defect_ok: jnp.ndarray      # shooting gaps under threshold
+    residual_ok: jnp.ndarray    # physics residual under threshold
+
+
+@dataclasses.dataclass(frozen=True)
+class HealthMonitor:
+    max_defect: float = 1e-2
+    max_srbd_residual: float = 50.0   # N / N·m, scaled units
+
+    def check(self, out: TickOutput) -> HealthReport:
+        finite = jnp.all(jnp.isfinite(out.x), axis=-1) & jnp.all(
+            jnp.isfinite(out.u0), axis=-1
+        )
+        defect_ok = out.defect_norm < self.max_defect
+        residual_ok = (
+            jnp.max(jnp.abs(out.srbd_residual), axis=-1)
+            < self.max_srbd_residual
+        )
+        return HealthReport(
+            healthy=finite & defect_ok,
+            finite=finite,
+            defect_ok=defect_ok,
+            residual_ok=residual_ok,
+        )
+
+    def reset_where_unhealthy(
+        self, carry: LoopCarry, report: HealthReport, x_safe: jnp.ndarray
+    ) -> LoopCarry:
+        """Rebuild the solver state from a safe reference state for the
+        unhealthy batch members; healthy members untouched. Batched and
+        jittable (elementwise select on the carry pytree)."""
+        ok = report.healthy
+
+        def pick(healthy_leaf, reset_leaf):
+            mask = ok.reshape(ok.shape + (1,) * (healthy_leaf.ndim - ok.ndim))
+            return jnp.where(mask, healthy_leaf, reset_leaf)
+
+        ns = carry.sol.U.shape[-2]
+        x_reset = jnp.where(ok[..., None], carry.x, x_safe)
+        X_reset = jnp.repeat(x_reset[..., None, :], ns + 1, axis=-2)
+        U_reset = jnp.zeros_like(carry.sol.U)
+        sol = carry.sol._replace(
+            X=pick(carry.sol.X, X_reset),
+            U=pick(carry.sol.U, U_reset),
+        )
+        return carry._replace(x=x_reset, sol=sol)

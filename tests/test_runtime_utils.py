@@ -1,0 +1,96 @@
+"""Health monitoring and checkpoint/resume tests (capabilities beyond the
+reference — SURVEY.md §5.3-5.4 note the reference has none)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from srbd_horizon_tpu.config import DDPOptions, SRBDConfig
+from srbd_horizon_tpu.models.kangaroo import kangaroo_line_feet
+from srbd_horizon_tpu.problems.lip import build_lip_problem
+from srbd_horizon_tpu.runtime.checkpoint import load_carry, save_carry
+from srbd_horizon_tpu.runtime.health import HealthMonitor
+from srbd_horizon_tpu.runtime.loop import MPCLoop, TickOutput, standing_schedule
+from srbd_horizon_tpu.solvers.msddp import MSDDP
+from srbd_horizon_tpu.wpg import WalkingPatternGenerator
+
+
+def _make_loop():
+    cfg = SRBDConfig(dtype=jnp.float64)
+    prob = build_lip_problem(cfg, kangaroo_line_feet())
+    solver = MSDDP(prob.ocp, DDPOptions(max_iters=15))
+    wpg = WalkingPatternGenerator.build(0.0, cfg.ns, dtype=jnp.float64)
+    return prob, MPCLoop(solver=solver, wpg=wpg)
+
+
+class TestHealth:
+    def test_classification(self):
+        mon = HealthMonitor(max_defect=1e-3)
+        good = TickOutput(
+            x=jnp.zeros(30), u0=jnp.zeros(15), cost=jnp.asarray(1.0),
+            iterations=jnp.asarray(3), converged=jnp.asarray(True),
+            defect_norm=jnp.asarray(1e-6), srbd_residual=jnp.zeros(6),
+        )
+        rep = mon.check(good)
+        assert bool(rep.healthy)
+        bad = good._replace(x=good.x.at[0].set(jnp.nan))
+        assert not bool(mon.check(bad).healthy)
+        drift = good._replace(defect_norm=jnp.asarray(1.0))
+        assert not bool(mon.check(drift).healthy)
+
+    def test_batched_reset(self):
+        prob, loop = _make_loop()
+        B = 4
+        x0 = jnp.tile(prob.initial_state[None], (B, 1))
+        carry = jax.vmap(loop.init)(x0)
+        # corrupt member 2
+        carry = carry._replace(
+            x=carry.x.at[2].set(jnp.nan),
+            sol=carry.sol._replace(X=carry.sol.X.at[2].set(jnp.nan)),
+        )
+        out = TickOutput(
+            x=carry.x, u0=jnp.zeros((B, 15)), cost=jnp.ones(B),
+            iterations=jnp.ones(B, jnp.int32), converged=jnp.ones(B, bool),
+            defect_norm=jnp.full(B, 1e-8),
+            srbd_residual=jnp.zeros((B, 6)),
+        )
+        mon = HealthMonitor()
+        rep = mon.check(out)
+        assert list(np.asarray(rep.healthy)) == [True, True, False, True]
+        carry2 = mon.reset_where_unhealthy(carry, rep, prob.initial_state)
+        assert bool(jnp.all(jnp.isfinite(carry2.x)))
+        assert bool(jnp.all(jnp.isfinite(carry2.sol.X)))
+        # healthy members untouched
+        np.testing.assert_array_equal(
+            np.asarray(carry2.x[0]), np.asarray(carry.x[0])
+        )
+        # the reset member resumes from the safe state
+        np.testing.assert_array_equal(
+            np.asarray(carry2.x[2]), np.asarray(prob.initial_state)
+        )
+
+
+class TestCheckpoint:
+    def test_roundtrip_resume(self, tmp_path):
+        prob, loop = _make_loop()
+        carry = loop.init(prob.initial_state)
+        sched = standing_schedule(10, jnp.float64)
+        run = jax.jit(loop.run)
+        carry_mid, _ = run(carry, jax.tree.map(lambda a: a[:5], sched))
+
+        path = str(tmp_path / "ckpt")
+        save_carry(path, carry_mid)
+        template = loop.init(prob.initial_state)
+        restored = load_carry(path, template)
+
+        # resumed run must match the uninterrupted one exactly
+        tail = jax.tree.map(lambda a: a[5:], sched)
+        c_a, out_a = run(carry_mid, tail)
+        c_b, out_b = run(restored, tail)
+        np.testing.assert_allclose(
+            np.asarray(out_a.x), np.asarray(out_b.x), atol=0.0
+        )
+        np.testing.assert_array_equal(
+            np.asarray(c_a.wpg_state.step_counter),
+            np.asarray(c_b.wpg_state.step_counter),
+        )
