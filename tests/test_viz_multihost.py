@@ -1,0 +1,92 @@
+"""Viz rendering and multihost-helper tests, plus jump-action closed-loop
+coverage (dsrbd_example.py:128-129 'jumping' motion)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from srbd_horizon_tpu.config import DDPOptions, SRBDConfig
+from srbd_horizon_tpu.io.viz import render_matplotlib, render_walk_svg
+from srbd_horizon_tpu.models.kangaroo import kangaroo_line_feet
+from srbd_horizon_tpu.parallel.multihost import (
+    ensure_initialized,
+    fleet_info,
+    local_batch_slice,
+)
+from srbd_horizon_tpu.problems.lip import build_lip_problem
+from srbd_horizon_tpu.runtime.loop import MPCLoop, TickInput
+from srbd_horizon_tpu.solvers.msddp import MSDDP
+from srbd_horizon_tpu.wpg import WalkingPatternGenerator
+
+
+class TestMultihost:
+    def test_single_process_noop(self, monkeypatch):
+        monkeypatch.delenv("JAX_COORDINATOR_ADDRESS", raising=False)
+        monkeypatch.delenv("JAX_NUM_PROCESSES", raising=False)
+        assert ensure_initialized() is False
+
+    def test_fleet_info(self):
+        info = fleet_info()
+        assert info["process_count"] == 1
+        assert info["global_devices"] >= 8
+
+    def test_local_batch_slice(self):
+        s = local_batch_slice(64)
+        assert (s.start, s.stop) == (0, 64)
+
+
+class TestViz:
+    def _telemetry(self):
+        T = 40
+        t = np.linspace(0, 4, T)
+        X = np.zeros((T, 30))
+        X[:, 0] = 0.3 * t            # CoM x
+        X[:, 2] = 0.88
+        for i in range(4):
+            X[:, 3 + 3 * i] = 0.3 * t + 0.05 * i
+            X[:, 3 + 3 * i + 2] = np.abs(np.sin(t * 3)) * 0.05
+        return dict(
+            x=X,
+            solve_time_s=np.full(T, 0.01),
+            defect_norm=np.full(T, 1e-8),
+        )
+
+    def test_svg(self, tmp_path):
+        p = tmp_path / "walk.svg"
+        render_walk_svg(str(p), self._telemetry())
+        content = p.read_text()
+        assert content.startswith("<svg")
+        assert content.count("polyline") >= 10  # CoM + 4 contacts × 2 views
+
+    def test_matplotlib(self, tmp_path):
+        p = tmp_path / "walk.png"
+        render_matplotlib(self._telemetry(), str(p))
+        assert p.exists() and p.stat().st_size > 1000
+
+
+class TestJumpAction:
+    def test_lip_jump_releases_contacts(self):
+        """'jump' zeroes every cdot_switch at the incoming terminal node
+        (wpg.py:89-93), releasing the no-slide constraint; the loop must
+        stay finite through a jump burst."""
+        cfg = SRBDConfig(dtype=jnp.float64)
+        prob = build_lip_problem(cfg, kangaroo_line_feet())
+        solver = MSDDP(prob.ocp, DDPOptions(max_iters=20))
+        wpg = WalkingPatternGenerator.build(0.0, cfg.ns, dtype=jnp.float64)
+        loop = MPCLoop(solver=solver, wpg=wpg)
+        carry = loop.init(prob.initial_state)
+        T = 30
+        actions = jnp.concatenate([
+            jnp.zeros(10, jnp.int32),           # stance
+            jnp.full((8,), 2, jnp.int32),       # jump
+            jnp.zeros(T - 18, jnp.int32),       # recover
+        ])
+        sched = TickInput(
+            action=actions,
+            rdot_ref=jnp.zeros((T, 3), jnp.float64),
+            w_ref=jnp.zeros((T, 3), jnp.float64),
+        )
+        carry, out = jax.jit(loop.run)(carry, sched)
+        assert bool(jnp.all(jnp.isfinite(out.x)))
+        # during the jump burst the switches at the terminal node were 0
+        assert float(jnp.min(carry.params["cdot_switch"])) >= 0.0
