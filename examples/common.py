@@ -4,10 +4,19 @@ reference (dsrbd_example.py:86-99) is replaced by a declarative motion
 schedule; telemetry goes to .npz/.json instead of ROS topics."""
 
 import argparse
+import os
 import pathlib
 import sys
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
+if "--cpu" in sys.argv and "xla_force_host_platform_device_count" not in os.environ.get("XLA_FLAGS", ""):
+    # virtual 8-device CPU mesh for the sharded examples (must be set
+    # before the first JAX backend initialization)
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "")
+        + " --xla_force_host_platform_device_count=8"
+    ).strip()
 
 import jax
 import jax.numpy as jnp
