@@ -119,6 +119,13 @@ class DDPOptions:
     # α₀·factor^(width-1); a step that would only be accepted below that is
     # treated as line-search failure, i.e. convergence)
     parallel_line_search_width: int = 4
+    # Gain-equation solver for Quu (result-equivalent up to rounding):
+    #   "schur":    recursive block-Schur SPD inverse — log-depth batched
+    #               matmuls; on TPU the batched Cholesky lowering (a
+    #               sequential column loop) measured ~70% of the whole
+    #               backward sweep, Schur removes it
+    #   "cholesky": jax.scipy cho_factor/cho_solve
+    quu_solver: str = "schur"
     # Backward-pass execution (result-equivalent up to rounding):
     #   "sequential":  classic reverse lax.scan Riccati — ns dependent steps
     #   "associative": parallel Riccati via lax.associative_scan — ⌈log₂ ns⌉

@@ -41,6 +41,7 @@ import jax
 import jax.numpy as jnp
 
 from srbd_horizon_tpu.config import DDPOptions
+from srbd_horizon_tpu.math.linalg import spd_solve
 from srbd_horizon_tpu.ocp.spec import OCP
 
 
@@ -150,12 +151,13 @@ class MSDDP:
             Qxx = lxx + A.T @ Vxx @ A
             Quu = luu + B.T @ Vxx @ B + mu * I_u
             Qux = lux + B.T @ Vxx @ A
-            # gains via Cholesky (Quu is PSD by GN construction + mu);
-            # one factorization, one multi-RHS triangular solve
-            chol = jax.scipy.linalg.cho_factor(Quu)
-            kK = -jax.scipy.linalg.cho_solve(
-                chol, jnp.concatenate([Qu[:, None], Qux], axis=1)
-            )
+            # gains (Quu is SPD by GN construction + mu)
+            rhs = jnp.concatenate([Qu[:, None], Qux], axis=1)
+            if self.opts.quu_solver == "schur":
+                kK = -spd_solve(Quu, rhs)
+            else:
+                chol = jax.scipy.linalg.cho_factor(Quu)
+                kK = -jax.scipy.linalg.cho_solve(chol, rhs)
             k, K = kK[:, 0], kK[:, 1:]
             # value recursion
             Vx_new = Qx + K.T @ Quu @ k + K.T @ Qu + Qux.T @ k
@@ -206,9 +208,12 @@ class MSDDP:
         luu = 2.0 * jnp.einsum("nru,nrv->nuv", Ju, Ju)
         lux = 2.0 * jnp.einsum("nru,nrx->nux", Ju, Jx)
 
-        def chol_solve(Amat, rhs):
-            c = jax.scipy.linalg.cholesky(Amat, lower=True)
-            return jax.scipy.linalg.cho_solve((c, True), rhs)
+        if self.opts.quu_solver == "schur":
+            chol_solve = spd_solve
+        else:
+            def chol_solve(Amat, rhs):
+                c = jax.scipy.linalg.cholesky(Amat, lower=True)
+                return jax.scipy.linalg.cho_solve((c, True), rhs)
 
         Rt = luu + mu * jnp.eye(nu, dtype=dtype)[None]
         rhs = jnp.concatenate([lu[:, :, None], lux, B.transpose(0, 2, 1)], axis=2)
