@@ -52,7 +52,7 @@ def main(batch: int = 1024, n_ticks: int = 10, ns: int = 20,
     x0 = x0 + 0.005 * jax.random.normal(key, x0.shape, dtype)
     carries = jax.vmap(loop.init)(x0)
 
-    vtick = jax.jit(jax.vmap(loop.tick))
+    vtick = jax.jit(loop.tick_batch)
 
     def make_inp(t):
         return TickInput(

@@ -82,8 +82,6 @@ def sharded_batched_tick(loop, mesh: Mesh, axis: str = SCENARIO_AXIS):
     state (sim state, plan, params, gait phase) stays resident on its chip
     across ticks — no host round-trips in the control loop."""
 
-    vtick = jax.vmap(loop.tick)
-
     @partial(
         jax.shard_map,
         mesh=mesh,
@@ -92,7 +90,8 @@ def sharded_batched_tick(loop, mesh: Mesh, axis: str = SCENARIO_AXIS):
         check_vma=False,
     )
     def _tick_shard(carries, inps):
-        carries, outs = vtick(carries, inps)
+        # lane-major batched tick per shard (loop.tick_batch)
+        carries, outs = loop.tick_batch(carries, inps)
         n_total = jax.lax.psum(
             jnp.asarray(outs.cost.shape[0], outs.cost.dtype), axis
         )

@@ -105,28 +105,27 @@ class MPCLoop:
             s0["w"], wdot0,
         )
 
-    def tick(self, carry: LoopCarry, inp: TickInput) -> Tuple[LoopCarry, TickOutput]:
-        ocp = self.ocp
-        ns = ocp.ns
+    def _pre_solve(self, params, wpg_state, inp: TickInput):
+        """Per-tick parameter update: reference shift + teleop write + WPG
+        advance (dsrbd_example.py:101-131)."""
+        ns = self.ocp.ns
         params = shift_reference_params(
-            carry.params,
+            params,
             ("rdot_ref", "w_ref", "oref", "orientation_tracking_gain"),
         )  # dsrbd_example.py:101-106
         params["rdot_ref"] = params["rdot_ref"].at[ns].set(
             inp.rdot_ref.astype(params["rdot_ref"].dtype)
         )  # dsrbd_example.py:115,122
-        params, wpg_state = self.wpg.advance(params, carry.wpg_state, inp.action)
+        return self.wpg.advance(params, wpg_state, inp.action)
 
-        sol = self.solver.solve(carry.sol, carry.x, params)
+    def _post_solve(self, x, sol: DDPSolution, params):
+        """Self-simulation + telemetry (dsrbd_example.py:157-175)."""
+        ocp = self.ocp
         u0 = sol.U[0]
-
-        # self-simulation: Euler step with the first input
-        # (dsrbd_example.py:157-159; same integrator as the solver)
-        x_next = ocp.step(carry.x, u0, ocp.params_at(params, 0), ocp.dt)
+        x_next = ocp.step(x, u0, ocp.params_at(params, 0), ocp.dt)
         if self.srbd_constants is not None:
             # quaternion renormalization (dsrbd_example.py:160)
             x_next = x_next.at[3:7].set(quat_normalize(x_next[3:7]))
-
         out = TickOutput(
             x=x_next,
             u0=u0,
@@ -136,7 +135,28 @@ class MPCLoop:
             defect_norm=sol.defect_norm,
             srbd_residual=self._srbd_telemetry(x_next, u0, sol),
         )
+        return x_next, out
+
+    def tick(self, carry: LoopCarry, inp: TickInput) -> Tuple[LoopCarry, TickOutput]:
+        params, wpg_state = self._pre_solve(carry.params, carry.wpg_state, inp)
+        sol = self.solver.solve(carry.sol, carry.x, params)
+        x_next, out = self._post_solve(carry.x, sol, params)
         return LoopCarry(x=x_next, sol=sol, params=params, wpg_state=wpg_state), out
+
+    def tick_batch(self, carry: LoopCarry, inp: TickInput) -> Tuple[LoopCarry, TickOutput]:
+        """Batched tick over a leading scenario axis — identical semantics
+        to vmap(tick) but routing the solve through the lane-major batched
+        solver path (solve_batch). This is the production fleet hot path."""
+        params, wpg_state = jax.vmap(self.wpg_advance_with_refs)(
+            carry.params, carry.wpg_state, inp
+        )
+        sol = self.solver.solve_batch(carry.sol, carry.x, params)
+        x_next, out = jax.vmap(self._post_solve)(carry.x, sol, params)
+        return LoopCarry(x=x_next, sol=sol, params=params, wpg_state=wpg_state), out
+
+    # alias used by tick_batch's vmap (bound methods with dicts vmap fine)
+    def wpg_advance_with_refs(self, params, wpg_state, inp):
+        return self._pre_solve(params, wpg_state, inp)
 
     def run(self, carry: LoopCarry, schedule: TickInput) -> Tuple[LoopCarry, TickOutput]:
         """Scan the tick over a (T,)-leading schedule: a whole closed-loop

@@ -41,7 +41,15 @@ import jax
 import jax.numpy as jnp
 
 from srbd_horizon_tpu.config import DDPOptions
-from srbd_horizon_tpu.math.linalg import spd_solve
+from srbd_horizon_tpu.math.linalg import (
+    lm_matmul,
+    lm_matmul_tn,
+    lm_matvec,
+    lm_matvec_tn,
+    lm_spd_inverse,
+    lm_transpose,
+    spd_solve,
+)
 from srbd_horizon_tpu.ocp.spec import OCP
 
 
@@ -175,6 +183,191 @@ class MSDDP:
             reverse=True,
         )
         return ks, Ks, dV1, dV2
+
+    # ---------- lane-major batched backward (the TPU hot path) ----------
+
+    def _backward_lanemajor(self, lin, mu):
+        """Backward Riccati sweep for a WHOLE BATCH at once, with the batch
+        on the minor (lane) dimension.
+
+        `lin` leaves carry a leading batch axis (from vmap'ed _linearize):
+        A (B, ns, nx, nx) etc. A batch-first batched matmul is lowered as B
+        independent 37×37 MXU ops at ~2% tile utilization (measured
+        ~830 GFLOP/s); transposing the batch to the last axis turns every
+        contraction into a fused broadcast-multiply-reduce at full lane
+        occupancy. Returns batch-first (ks (B,ns,nu), Ks (B,ns,nu,nx),
+        dV1 (B,), dV2 (B,))."""
+        nx, nu = self.ocp.nx, self.ocp.nu
+        dtype = lin["rho"].dtype
+
+        def to_lm(x):  # (B, ns, ...) -> (ns, ..., B)
+            return jnp.moveaxis(x, 0, -1)
+
+        A = to_lm(lin["A"])          # (ns, nx, nx, B)
+        Bm = to_lm(lin["B"])         # (ns, nx, nu, B)
+        Jx = to_lm(lin["Jx"])        # (ns, nr, nx, B)
+        Ju = to_lm(lin["Ju"])        # (ns, nr, nu, B)
+        rho = to_lm(lin["rho"])      # (ns, nr, B)
+        d = to_lm(lin["d"])          # (ns, nx, B)
+        Jt = to_lm(lin["Jt"])        # (nrt, nx, B)
+        rt = to_lm(lin["rt"])        # (nrt, B)
+
+        Vxx_T = 2.0 * lm_matmul_tn(Jt, Jt)       # (nx, nx, B)
+        Vx_T = 2.0 * lm_matvec_tn(Jt, rt)        # (nx, B)
+
+        Bsz = rho.shape[-1]
+        eye_mu = mu * jnp.eye(nu, dtype=dtype)[:, :, None]
+        zero = jnp.zeros((Bsz,), dtype)
+
+        def node(carry, inp):
+            Vx, Vxx, dV1, dV2 = carry
+            A_, B_, Jx_, Ju_, rho_, d_ = inp
+            lx = 2.0 * lm_matvec_tn(Jx_, rho_)
+            lu = 2.0 * lm_matvec_tn(Ju_, rho_)
+            lxx = 2.0 * lm_matmul_tn(Jx_, Jx_)
+            luu = 2.0 * lm_matmul_tn(Ju_, Ju_)
+            lux = 2.0 * lm_matmul_tn(Ju_, Jx_)
+            Vx_d = Vx + lm_matvec(Vxx, d_)
+            Qx = lx + lm_matvec_tn(A_, Vx_d)
+            Qu = lu + lm_matvec_tn(B_, Vx_d)
+            VA = lm_matmul(Vxx, A_)
+            VB = lm_matmul(Vxx, B_)
+            Qxx = lxx + lm_matmul_tn(A_, VA)
+            Quu = luu + lm_matmul_tn(B_, VB) + eye_mu
+            Qux = lux + lm_matmul_tn(B_, VA)
+            iQ = lm_spd_inverse(Quu)
+            k = -lm_matvec(iQ, Qu)               # (nu, B)
+            K = -lm_matmul(iQ, Qux)              # (nu, nx, B)
+            Quu_k = lm_matvec(Quu, k)
+            KQuu = lm_matmul_tn(K, Quu)          # (nx, nu, B)
+            Vx_new = (
+                Qx + lm_matvec(KQuu, k) + lm_matvec_tn(K, Qu)
+                + lm_matvec_tn(Qux, k)
+            )
+            Vxx_new = Qxx + lm_matmul(KQuu, K) + lm_matmul_tn(K, Qux)
+            Vxx_new = Vxx_new + lm_transpose(lm_matmul_tn(K, Qux))
+            Vxx_new = 0.5 * (Vxx_new + lm_transpose(Vxx_new))
+            dV1_new = dV1 + jnp.sum(k * Qu, axis=0)
+            dV2_new = dV2 + 0.5 * jnp.sum(k * Quu_k, axis=0)
+            return (Vx_new, Vxx_new, dV1_new, dV2_new), (k, K)
+
+        (_, _, dV1, dV2), (ks, Ks) = jax.lax.scan(
+            node, (Vx_T, Vxx_T, zero, zero), (A, Bm, Jx, Ju, rho, d),
+            reverse=True,
+        )
+        # back to batch-first
+        return (
+            jnp.moveaxis(ks, -1, 0),             # (B, ns, nu)
+            jnp.moveaxis(Ks, -1, 0),             # (B, ns, nu, nx)
+            dV1,
+            dV2,
+        )
+
+    # ---------- natively batched solve (uses the lane-major backward) ----
+
+    def _iteration_batch(self, state: _IterState, x0, params):
+        """One DDP iteration for a whole batch: vmapped linearization and
+        rollouts, lane-major backward, per-member α selection and masked
+        updates (mirrors vmap(solve) semantics member-for-member)."""
+        opts = self.opts
+        lin = jax.vmap(self._linearize)(state.X, state.U, params)
+        mu = jnp.asarray(opts.mu0, state.X.dtype)
+        ks, Ks, dV1, dV2 = self._backward_lanemajor(lin, mu)
+
+        nu_w = jnp.asarray(opts.defect_weight, state.X.dtype)
+        D = jnp.sum(lin["d"] * lin["d"], axis=(1, 2))          # (B,)
+        merit0 = state.cost + nu_w * D
+
+        K_ls = opts.parallel_line_search_width
+        alphas = opts.alpha_0 * (
+            opts.line_search_decrease_factor
+            ** jnp.arange(K_ls, dtype=state.X.dtype)
+        )
+        vroll = jax.vmap(
+            lambda x0_, X_, U_, k_, K_, d_, p_, a: self._rollout(
+                x0_, X_, U_, k_, K_, d_, p_, a
+            ),
+            in_axes=(0, 0, 0, 0, 0, 0, 0, None),
+        )
+        vcost = jax.vmap(self.total_cost)
+
+        def trial(a):
+            Xn, Un = vroll(x0, state.X, state.U, ks, Ks, lin["d"], params, a)
+            new_cost = vcost(Xn, Un, params)
+            new_merit = new_cost + nu_w * (1.0 - a) ** 2 * D
+            expected = -(a * dV1 + a**2 * dV2) + (2.0 * a - a**2) * nu_w * D
+            ok = (
+                ((merit0 - new_merit) >= opts.beta * jnp.maximum(expected, 1e-16))
+                & jnp.isfinite(new_merit)
+                & (a >= opts.alpha_converge_threshold)
+            )
+            return Xn, Un, new_cost, new_merit, ok
+
+        Xs, Us, costs, merits, oks = jax.vmap(trial)(alphas)   # (K, B, ...)
+        accepted = jnp.any(oks, axis=0)                        # (B,)
+        idx = jnp.argmax(oks, axis=0)                          # (B,)
+
+        def pick(arr):  # (K, B, ...) -> (B, ...)
+            return jnp.take_along_axis(
+                arr, idx.reshape((1,) + idx.shape + (1,) * (arr.ndim - 2)),
+                axis=0,
+            )[0]
+
+        Xn, Un = pick(Xs), pick(Us)
+        new_cost = jnp.take_along_axis(costs, idx[None], axis=0)[0]
+        new_merit = jnp.take_along_axis(merits, idx[None], axis=0)[0]
+
+        active = ~state.converged
+        upd = accepted & active
+        merit_red = merit0 - new_merit
+        conv_now = (~accepted) | (
+            merit_red <= opts.cost_reduction_ths * jnp.maximum(merit0, 1.0)
+        )
+
+        def sel(new, old):
+            mask = upd.reshape(upd.shape + (1,) * (new.ndim - 1))
+            return jnp.where(mask, new, old)
+
+        return _IterState(
+            X=sel(Xn, state.X),
+            U=sel(Un, state.U),
+            cost=jnp.where(upd, new_cost, state.cost),
+            converged=jnp.where(active, conv_now, state.converged),
+            it=jnp.where(active, state.it + 1, state.it),
+        )
+
+    def solve_batch(self, sols: DDPSolution, x0, params) -> DDPSolution:
+        """Batched MS-DDP solve over a leading scenario axis. Semantically
+        equivalent to `vmap(solve)` (same per-member α selection, masked
+        convergence) but with the backward sweep executed lane-major —
+        the TPU hot path used by the MPC fleet runtime."""
+        if self.opts.riccati_mode != "sequential" or self.opts.forward_pass != "nonlinear":
+            return jax.vmap(self.solve)(sols, x0, params)
+        opts = self.opts
+        with jax.default_matmul_precision("highest"):
+            cost0 = jax.vmap(self.total_cost)(sols.X, sols.U, params)
+            Bsz = cost0.shape[0]
+            state = _IterState(
+                X=sols.X, U=sols.U, cost=cost0,
+                converged=jnp.zeros((Bsz,), bool),
+                it=jnp.zeros((Bsz,), jnp.int32),
+            )
+
+            def cond(s):
+                return jnp.any((~s.converged) & (s.it < opts.max_iters))
+
+            def body(s):
+                return self._iteration_batch(s, x0, params)
+
+            final = jax.lax.while_loop(cond, body, state)
+
+            defects = jax.vmap(self._true_defects)(final.X, final.U, params)
+            defect = jnp.max(jnp.abs(defects), axis=(1, 2))
+            return DDPSolution(
+                X=final.X, U=final.U, cost=final.cost,
+                converged=final.converged, iterations=final.it,
+                defect_norm=defect,
+            )
 
     # ---------- parallel (associative-scan) Riccati backward ----------
 
