@@ -51,7 +51,8 @@ def _layouts(nc: int):
 
 
 def build_lip_problem(
-    cfg: SRBDConfig, robot: RobotConstants, dtype=None
+    cfg: SRBDConfig, robot: RobotConstants, dtype=None,
+    integrator: str = "EULER",
 ) -> LIPProblem:
     dtype = dtype or cfg.dtype
     ns, nc, cm = cfg.ns, cfg.nc, cfg.contact_model
@@ -135,7 +136,8 @@ def build_lip_problem(
         return stage_eq(x, None, p)
 
     xdot = lambda x, u, p: lip_model.lip_xdot(x, u, eta2=eta2)
-    step = integrators.euler(xdot)
+    # EULER for DDP-path parity (ddp.py:228-230); RK2/RK4 selectable
+    step = integrators.BY_NAME[integrator](xdot)
 
     params: Dict[str, jnp.ndarray] = {
         "rdot_ref": jnp.zeros((ns + 1, 3), dtype),                     # prb.py:298-299

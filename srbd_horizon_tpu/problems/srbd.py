@@ -90,7 +90,8 @@ def linearized_friction_cone_rows(mu: float) -> np.ndarray:
 
 
 def build_srbd_problem(
-    cfg: SRBDConfig, robot: RobotConstants, dtype=None
+    cfg: SRBDConfig, robot: RobotConstants, dtype=None,
+    integrator: str = "EULER",
 ) -> SRBDProblem:
     dtype = dtype or cfg.dtype
     ns, nc, cm = cfg.ns, cfg.nc, cfg.contact_model
@@ -204,7 +205,8 @@ def build_srbd_problem(
         return (i["f"] @ A_fc.T).reshape(-1)  # (nc*5,) rows ≤ 0 inside cone
 
     xdot = lambda x, u, p: srbd_model.srbd_xdot(x, u, constants)
-    step = integrators.euler(xdot)
+    # EULER for DDP-path parity (ddp.py:228-230); RK2/RK4 selectable
+    step = integrators.BY_NAME[integrator](xdot)
 
     params: Dict[str, jnp.ndarray] = {
         "rdot_ref": jnp.zeros((ns + 1, 3), dtype),                # prb.py:71,74

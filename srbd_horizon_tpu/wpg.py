@@ -125,12 +125,18 @@ class WalkingPatternGenerator:
         params: Dict[str, jnp.ndarray],
         state: WPGState,
         action,
+        terrain_z=0.0,
     ) -> Tuple[Dict[str, jnp.ndarray], WPGState]:
         """One `steps_phase.set(action)` tick (wpg.py:68-101), fully on
         device. `action` is an int (ACTION_CODES) and may be traced.
 
         Shifts c_ref/cdot_switch (and w_ref/orientation_tracking_gain if
-        present) back one node, then writes the terminal node."""
+        present) back one node, then writes the terminal node.
+
+        `terrain_z` (scalar, may be traced/batched) offsets the written
+        contact-height references — per-scenario terrain variation for
+        batched sweeps (a capability beyond the reference, whose c_init_z
+        is baked into the tables at construction, wpg.py:34-63)."""
         nc = self.contact_model * self.number_of_legs
         ns = self.nodes
         ref_id = state.step_counter % (2 * self.step_nodes)
@@ -149,10 +155,12 @@ class WalkingPatternGenerator:
         dtype = p["c_ref"].dtype
         is_left = (jnp.arange(nc) < cm)
 
+        tz = jnp.asarray(terrain_z, dtype)
+
         def terminal_step():
             c_ref_T = jnp.where(
                 is_left, self.l_cycle[ref_id], self.r_cycle[ref_id]
-            ).astype(dtype)
+            ).astype(dtype) + tz
             switch_T = jnp.where(
                 is_left, self.l_switch[ref_id], self.r_switch[ref_id]
             ).astype(dtype)
@@ -167,9 +175,10 @@ class WalkingPatternGenerator:
             )
 
         def terminal_stance():
-            # reference writes c_ref←0 in stance (wpg.py:98)
+            # reference writes c_ref←0 in stance (wpg.py:98); terrain shift
+            # generalizes that to the local ground height (0 by default)
             return (
-                jnp.zeros(nc, dtype),
+                jnp.full((nc,), tz, dtype),
                 jnp.ones(nc, dtype),
                 jnp.asarray(self.stance_otg, dtype),
             )
