@@ -67,24 +67,35 @@ def main(batch=512, reps=20):
         cost_fn = jax.jit(jax.vmap(solver.total_cost))
         _ = cost_fn(Xn, Un, params)
 
+        bwd_lm_fn = jax.jit(
+            lambda l: solver._backward_lanemajor(l, jnp.asarray(1e-6, dtype))
+        )
+        _ = bwd_lm_fn(lin)
+
         solve_fn = jax.jit(jax.vmap(solver.solve))
         _ = solve_fn(sols, x0, params)
+        solveb_fn = jax.jit(solver.solve_batch)
+        _ = solveb_fn(sols, x0, params)
 
         t_lin = timeit(lin_fn, X, U, params, reps=reps)
         t_bwd = timeit(bwd_fn, lin, reps=reps)
+        t_bwd_lm = timeit(bwd_lm_fn, lin, reps=reps)
         t_roll = timeit(roll_fn, x0, X, U, ks, Ks, lin["d"], params, reps=reps)
         t_cost = timeit(cost_fn, Xn, Un, params, reps=reps)
         t_solve = timeit(solve_fn, sols, x0, params, reps=max(3, reps // 4))
+        t_solveb = timeit(solveb_fn, sols, x0, params, reps=max(3, reps // 4))
 
     print(f"device={jax.devices()[0]} batch={B}")
-    print(f"linearize : {t_lin*1e3:8.2f} ms")
-    print(f"backward  : {t_bwd*1e3:8.2f} ms")
-    print(f"rollout   : {t_roll*1e3:8.2f} ms")
-    print(f"cost      : {t_cost*1e3:8.2f} ms")
+    print(f"linearize    : {t_lin*1e3:8.2f} ms")
+    print(f"backward     : {t_bwd*1e3:8.2f} ms (vmap batch-first)")
+    print(f"backward lm  : {t_bwd_lm*1e3:8.2f} ms (lane-major)")
+    print(f"rollout      : {t_roll*1e3:8.2f} ms")
+    print(f"cost         : {t_cost*1e3:8.2f} ms")
     ls_width = solver.opts.parallel_line_search_width
-    iter_est = t_lin + t_bwd + ls_width * (t_roll + t_cost)
-    print(f"est/iter  : {iter_est*1e3:8.2f} ms  (ls_width={ls_width})")
-    print(f"full solve: {t_solve*1e3:8.2f} ms  (max_iters={solver.opts.max_iters})")
+    iter_est = t_lin + t_bwd_lm + ls_width * (t_roll + t_cost)
+    print(f"est/iter(lm) : {iter_est*1e3:8.2f} ms  (ls_width={ls_width})")
+    print(f"solve (vmap) : {t_solve*1e3:8.2f} ms  (max_iters={solver.opts.max_iters})")
+    print(f"solve (batch): {t_solveb*1e3:8.2f} ms")
 
 
 if __name__ == "__main__":
