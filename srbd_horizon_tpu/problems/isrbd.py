@@ -97,7 +97,9 @@ def build_isrbd_problem(
     d1 = feet0[fpi[2], :2] - feet0[fpi[0], :2]  # isrbd_example.py:285
     d2 = feet0[fpi[3], :2] - feet0[fpi[1], :2]  # isrbd_example.py:288
 
-    sq = np.sqrt
+    # python-float weights: numpy f64 scalars are strong types under
+    # jax x64 and would promote f32 residuals to f64
+    sq = lambda g: float(np.sqrt(g))
     w_rz = sq(cfg.rz_tracking_gain_isrbd)      # isrbd_example.py:229
     w_rdot = sq(cfg.rdot_tracking_gain)
     w_w = sq(cfg.w_tracking_gain)

@@ -115,7 +115,9 @@ def build_srbd_problem(
     d1 = feet0[cm, :2] - feet0[0, :2]          # prb.py:153
     d2 = feet0[nc - 1, :2] - feet0[cm - 1, :2]  # prb.py:154
 
-    sq = np.sqrt
+    # python-float weights: numpy f64 scalars are strong types under
+    # jax x64 and would promote f32 residuals to f64
+    sq = lambda g: float(np.sqrt(g))
     w_r = sq(cfg.r_tracking_gain)
     w_rdot = sq(cfg.rdot_tracking_gain)
     w_w = sq(cfg.w_tracking_gain)
