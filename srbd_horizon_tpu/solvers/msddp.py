@@ -284,16 +284,16 @@ class MSDDP:
             ** jnp.arange(K_ls, dtype=state.X.dtype)
         )
         vroll = jax.vmap(
-            lambda x0_, X_, U_, k_, K_, d_, p_, a: self._rollout(
+            lambda x0_, X_, U_, k_, K_, d_, p_, a: self._rollout_cost(
                 x0_, X_, U_, k_, K_, d_, p_, a
             ),
             in_axes=(0, 0, 0, 0, 0, 0, 0, None),
         )
-        vcost = jax.vmap(self.total_cost)
 
         def trial(a):
-            Xn, Un = vroll(x0, state.X, state.U, ks, Ks, lin["d"], params, a)
-            new_cost = vcost(Xn, Un, params)
+            Xn, Un, new_cost = vroll(
+                x0, state.X, state.U, ks, Ks, lin["d"], params, a
+            )
             new_merit = new_cost + nu_w * (1.0 - a) ** 2 * D
             expected = -(a * dV1 + a**2 * dV2) + (2.0 * a - a**2) * nu_w * D
             ok = (
@@ -532,6 +532,33 @@ class MSDDP:
         Xnew = jnp.concatenate([Xs, x_final[None]], axis=0)
         return Xnew, Us
 
+    def _rollout_cost(self, x0, X, U, ks, Ks, d, params, alpha):
+        """Forward pass with the stage cost fused into the same scan — one
+        pass over the horizon per line-search trial instead of two
+        (rollout + separate cost sweep)."""
+        dt = self.ocp.dt
+        ns = self.ocp.ns
+        p_stage = {k: v[:ns] for k, v in params.items()}
+
+        def node(carry, inp):
+            xhat, acc = carry
+            Xn, Un, kn, Kn, dn, pn = inp
+            u = Un + alpha * kn + Kn @ (xhat - Xn)
+            rho = self._stage_rho(xhat, u, pn)
+            acc = acc + jnp.sum(rho * rho)
+            xnext = self.ocp.step(xhat, u, pn, dt) - (1.0 - alpha) * dn
+            return (xnext, acc), (xhat, u)
+
+        (x_final, acc), (Xs, Us) = jax.lax.scan(
+            node, (x0, jnp.zeros((), x0.dtype)),
+            (X[:ns], U, ks, Ks, d, p_stage),
+        )
+        Xnew = jnp.concatenate([Xs, x_final[None]], axis=0)
+        p_term = {k: v[ns] for k, v in params.items()}
+        rt = self.ocp.terminal_residual(x_final, p_term)
+        total = acc + jnp.sum(rt * rt)
+        return Xnew, Us, total
+
     def _forward_linear(self, x0, X, U, ks, Ks, lin, params, alpha):
         """Linearized forward pass — the Gauss-Newton/SQP step:
             δx₀ = x0 − X₀
@@ -592,12 +619,12 @@ class MSDDP:
                 )
                 dn = self._true_defects(Xn, Un, params)
                 D_new = jnp.sum(dn * dn)
+                new_cost = self.total_cost(Xn, Un, params)
             else:
-                Xn, Un = self._rollout(
+                Xn, Un, new_cost = self._rollout_cost(
                     x0, state.X, state.U, ks, Ks, lin["d"], params, a
                 )
                 D_new = (1.0 - a) ** 2 * D  # exact by construction
-            new_cost = self.total_cost(Xn, Un, params)
             new_merit = new_cost + nu * D_new
             expected = -(a * dV1 + a**2 * dV2) + (2.0 * a - a**2) * nu * D
             ok = (
