@@ -215,18 +215,22 @@ class MSDDP:
         Vxx_T = 2.0 * lm_matmul_tn(Jt, Jt)       # (nx, nx, B)
         Vx_T = 2.0 * lm_matvec_tn(Jt, rt)        # (nx, B)
 
+        # GN cost quadratics have no carry dependence — computed for all
+        # nodes at once (node axis fused into the reduction batch) so the
+        # sequential scan only carries the value propagation.
+        lx = 2.0 * jnp.sum(Jx * rho[:, :, None, :], axis=1)      # (ns, nx, B)
+        lu = 2.0 * jnp.sum(Ju * rho[:, :, None, :], axis=1)
+        lxx = 2.0 * jnp.sum(Jx[:, :, :, None, :] * Jx[:, :, None, :, :], axis=1)
+        luu = 2.0 * jnp.sum(Ju[:, :, :, None, :] * Ju[:, :, None, :, :], axis=1)
+        lux = 2.0 * jnp.sum(Ju[:, :, :, None, :] * Jx[:, :, None, :, :], axis=1)
+
         Bsz = rho.shape[-1]
         eye_mu = mu * jnp.eye(nu, dtype=dtype)[:, :, None]
         zero = jnp.zeros((Bsz,), dtype)
 
         def node(carry, inp):
             Vx, Vxx, dV1, dV2 = carry
-            A_, B_, Jx_, Ju_, rho_, d_ = inp
-            lx = 2.0 * lm_matvec_tn(Jx_, rho_)
-            lu = 2.0 * lm_matvec_tn(Ju_, rho_)
-            lxx = 2.0 * lm_matmul_tn(Jx_, Jx_)
-            luu = 2.0 * lm_matmul_tn(Ju_, Ju_)
-            lux = 2.0 * lm_matmul_tn(Ju_, Jx_)
+            A_, B_, lx, lu, lxx, luu, lux, d_ = inp
             Vx_d = Vx + lm_matvec(Vxx, d_)
             Qx = lx + lm_matvec_tn(A_, Vx_d)
             Qu = lu + lm_matvec_tn(B_, Vx_d)
@@ -252,7 +256,8 @@ class MSDDP:
             return (Vx_new, Vxx_new, dV1_new, dV2_new), (k, K)
 
         (_, _, dV1, dV2), (ks, Ks) = jax.lax.scan(
-            node, (Vx_T, Vxx_T, zero, zero), (A, Bm, Jx, Ju, rho, d),
+            node, (Vx_T, Vxx_T, zero, zero),
+            (A, Bm, lx, lu, lxx, luu, lux, d),
             reverse=True,
         )
         # back to batch-first
