@@ -131,7 +131,14 @@ class DDPOptions:
     #   "associative": parallel Riccati via lax.associative_scan — ⌈log₂ ns⌉
     #                  stages of batched (nx×nx) algebra (PAPERS.md:9,
     #                  "The Parallelization of Riccati Recursion")
+    #   "pallas":      (batched solve path only) fused Pallas kernel — the
+    #                  whole sweep in one program with the value function
+    #                  resident in VMEM and double-buffered node streaming
     riccati_mode: str = "sequential"
+    # Pallas kernel tuning: scenarios per program (lane tile), and
+    # interpreter mode for CPU tests
+    pallas_block_batch: int = 128
+    pallas_interpret: bool = False
     # Forward-pass execution:
     #   "nonlinear": true MS-DDP rollout (sequential in the horizon)
     #   "linear":    affine δx recursion via associative scan (SQP-flavored

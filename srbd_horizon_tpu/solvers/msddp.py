@@ -186,19 +186,10 @@ class MSDDP:
 
     # ---------- lane-major batched backward (the TPU hot path) ----------
 
-    def _backward_lanemajor(self, lin, mu):
-        """Backward Riccati sweep for a WHOLE BATCH at once, with the batch
-        on the minor (lane) dimension.
-
-        `lin` leaves carry a leading batch axis (from vmap'ed _linearize):
-        A (B, ns, nx, nx) etc. A batch-first batched matmul is lowered as B
-        independent 37×37 MXU ops at ~2% tile utilization (measured
-        ~830 GFLOP/s); transposing the batch to the last axis turns every
-        contraction into a fused broadcast-multiply-reduce at full lane
-        occupancy. Returns batch-first (ks (B,ns,nu), Ks (B,ns,nu,nx),
-        dV1 (B,), dV2 (B,))."""
-        nx, nu = self.ocp.nx, self.ocp.nu
-        dtype = lin["rho"].dtype
+    def _lanemajor_lq(self, lin):
+        """Transpose the vmapped linearization to lane-major (batch last)
+        and evaluate the GN quadratics for all nodes at once (no carry
+        dependence — only the value propagation stays sequential)."""
 
         def to_lm(x):  # (B, ns, ...) -> (ns, ..., B)
             return jnp.moveaxis(x, 0, -1)
@@ -215,16 +206,54 @@ class MSDDP:
         Vxx_T = 2.0 * lm_matmul_tn(Jt, Jt)       # (nx, nx, B)
         Vx_T = 2.0 * lm_matvec_tn(Jt, rt)        # (nx, B)
 
-        # GN cost quadratics have no carry dependence — computed for all
-        # nodes at once (node axis fused into the reduction batch) so the
-        # sequential scan only carries the value propagation.
         lx = 2.0 * jnp.sum(Jx * rho[:, :, None, :], axis=1)      # (ns, nx, B)
         lu = 2.0 * jnp.sum(Ju * rho[:, :, None, :], axis=1)
         lxx = 2.0 * jnp.sum(Jx[:, :, :, None, :] * Jx[:, :, None, :, :], axis=1)
         luu = 2.0 * jnp.sum(Ju[:, :, :, None, :] * Ju[:, :, None, :, :], axis=1)
         lux = 2.0 * jnp.sum(Ju[:, :, :, None, :] * Jx[:, :, None, :, :], axis=1)
+        return A, Bm, lx, lu, lxx, luu, lux, d, Vxx_T, Vx_T
 
-        Bsz = rho.shape[-1]
+    def _backward_pallas(self, lin, mu):
+        """Fused backward sweep as one Pallas kernel (solvers/
+        pallas_backward.py): value function resident in VMEM, one packed
+        DMA per node, gains streamed out — riccati_mode="pallas"."""
+        from srbd_horizon_tpu.solvers.pallas_backward import (
+            backward_sweep_pallas,
+            pack_node_data,
+        )
+
+        nx, nu = self.ocp.nx, self.ocp.nu
+        A, Bm, lx, lu, lxx, luu, lux, d, Vxx_T, Vx_T = self._lanemajor_lq(lin)
+        packed = pack_node_data(A, Bm, lx, lu, lxx, luu, lux, d)
+        Bsz = packed.shape[-1]
+        bb = min(self.opts.pallas_block_batch, Bsz)
+        ks, Ks, dV1, dV2 = backward_sweep_pallas(
+            packed, Vxx_T, Vx_T, nx=nx, nu=nu, mu=float(self.opts.mu0),
+            block_batch=bb, interpret=self.opts.pallas_interpret,
+        )
+        return (
+            jnp.moveaxis(ks, -1, 0),
+            jnp.moveaxis(Ks, -1, 0),
+            dV1,
+            dV2,
+        )
+
+    def _backward_lanemajor(self, lin, mu):
+        """Backward Riccati sweep for a WHOLE BATCH at once, with the batch
+        on the minor (lane) dimension.
+
+        `lin` leaves carry a leading batch axis (from vmap'ed _linearize):
+        A (B, ns, nx, nx) etc. A batch-first batched matmul is lowered as B
+        independent 37×37 MXU ops at ~2% tile utilization (measured
+        ~830 GFLOP/s); transposing the batch to the last axis turns every
+        contraction into a fused broadcast-multiply-reduce at full lane
+        occupancy. Returns batch-first (ks (B,ns,nu), Ks (B,ns,nu,nx),
+        dV1 (B,), dV2 (B,))."""
+        nx, nu = self.ocp.nx, self.ocp.nu
+        dtype = lin["rho"].dtype
+        A, Bm, lx, lu, lxx, luu, lux, d, Vxx_T, Vx_T = self._lanemajor_lq(lin)
+
+        Bsz = lin["rho"].shape[0]
         eye_mu = mu * jnp.eye(nu, dtype=dtype)[:, :, None]
         zero = jnp.zeros((Bsz,), dtype)
 
@@ -277,7 +306,10 @@ class MSDDP:
         opts = self.opts
         lin = jax.vmap(self._linearize)(state.X, state.U, params)
         mu = jnp.asarray(opts.mu0, state.X.dtype)
-        ks, Ks, dV1, dV2 = self._backward_lanemajor(lin, mu)
+        if opts.riccati_mode == "pallas":
+            ks, Ks, dV1, dV2 = self._backward_pallas(lin, mu)
+        else:
+            ks, Ks, dV1, dV2 = self._backward_lanemajor(lin, mu)
 
         nu_w = jnp.asarray(opts.defect_weight, state.X.dtype)
         D = jnp.sum(lin["d"] * lin["d"], axis=(1, 2))          # (B,)
@@ -346,7 +378,10 @@ class MSDDP:
         equivalent to `vmap(solve)` (same per-member α selection, masked
         convergence) but with the backward sweep executed lane-major —
         the TPU hot path used by the MPC fleet runtime."""
-        if self.opts.riccati_mode != "sequential" or self.opts.forward_pass != "nonlinear":
+        if (
+            self.opts.riccati_mode not in ("sequential", "pallas")
+            or self.opts.forward_pass != "nonlinear"
+        ):
             return jax.vmap(self.solve)(sols, x0, params)
         opts = self.opts
         with jax.default_matmul_precision("highest"):

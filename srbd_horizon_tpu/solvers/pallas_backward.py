@@ -1,22 +1,25 @@
-"""Pallas TPU kernel: fused backward Riccati sweep.
+"""Pallas TPU kernel: fused backward Riccati sweep with double-buffered
+HBM streaming.
 
-The XLA lane-major backward (msddp._backward_lanemajor) still issues ~10
-separate fused ops per scan step, each round-tripping (nx,nx,B) intermediates
-through HBM. This kernel runs the whole sweep for a batch tile in one
+Motivation: the XLA lane-major backward (msddp._backward_lanemajor) issues
+~10 separate fused ops per scan step, each bouncing (nx,nx,B) intermediates
+through HBM. Here the whole sweep for one batch tile runs in a single
 program: the value function (Vxx, Vx) lives in VMEM scratch across all ns
-nodes, per-node inputs are streamed HBM→VMEM with double buffering, and the
-feedback gains are streamed back out — one HBM read of the inputs, one HBM
-write of the outputs, zero intermediate traffic.
+nodes, each node's LQ data arrives as ONE packed DMA (double-buffered so
+the copy for node n-1 overlaps the compute of node n), and the only HBM
+traffic is one read of the inputs plus one write of the gains.
 
-Layout: batch-on-lanes. Every tensor is (..., BT) with BT=128 scenarios on
-the 128-lane axis, so all matrix algebra is elementwise VPU work at full
-lane occupancy; contractions unroll over the (tiny, static) matrix
-dimensions. The 24×24 SPD gain solve uses the same block-Schur recursion as
-math/linalg, specialized to this layout.
+Layout: batch-on-lanes. Every tensor is (..., BT) with BT scenarios on the
+128-lane axis; all matrix algebra is elementwise VPU work at full lane
+occupancy, contractions unrolled over the static (tiny) matrix dims. The
+SPD gain solve is the block-Schur recursion of math/linalg specialized to
+this layout. VMEM budget at BT=128 for the SRBD problem (nx=37, nu=24):
+2×2.7 MB input slabs + 2×0.5 MB gain out-slabs + 0.7 MB value carry +
+temporaries ≈ 10 MB.
 
-Inputs are the per-node LQ data produced by the GN quadratization
-(A, B, lx, lu, lxx, luu, lux, d) plus the terminal (VxxT, VxT); outputs are
-(ks, Ks, dV1, dV2) exactly as msddp._backward_lanemajor.
+Packing (host side, `pack_node_data`): per node concatenate the flattened
+(A, B, lx, lu, lxx, luu, lux, d) feature blocks → (ns, F, B). The kernel
+unpacks with static offsets.
 """
 
 from __future__ import annotations
@@ -30,8 +33,10 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+# ---------------- lane-major mini-algebra (unrolled contractions) --------
+
 def _mm_tn(A, Bm):
-    """C[i,j,b] = Σ_k A[k,i,b]·B[k,j,b], unrolled over k (static)."""
+    """C[i,j,b] = Σ_k A[k,i,b]·B[k,j,b] (first operand transposed)."""
     K = A.shape[0]
     acc = A[0][:, None, :] * Bm[0][None, :, :]
     for k in range(1, K):
@@ -49,12 +54,10 @@ def _mm(A, Bm):
 
 
 def _mv(A, v):
-    """y[i,b] = Σ_k A[i,k,b]·v[k,b]."""
     return jnp.sum(A * v[None, :, :], axis=1)
 
 
 def _mv_tn(A, v):
-    """y[i,b] = Σ_k A[k,i,b]·v[k,b]."""
     return jnp.sum(A * v[:, None, :], axis=0)
 
 
@@ -93,7 +96,6 @@ def _inv3(A):
 
 
 def _spd_inv(A):
-    """Block-Schur SPD inverse, lane-major, fully unrolled recursion."""
     n = A.shape[0]
     if n == 1:
         return 1.0 / A
@@ -117,33 +119,102 @@ def _spd_inv(A):
     return 0.5 * (out + _transpose(out))
 
 
+# ---------------- packing ------------------------------------------------
+
+def _offsets(nx: int, nu: int):
+    sizes = dict(
+        A=nx * nx, B=nx * nu, lx=nx, lu=nu,
+        lxx=nx * nx, luu=nu * nu, lux=nu * nx, d=nx,
+    )
+    offs = {}
+    o = 0
+    for k, s in sizes.items():
+        offs[k] = (o, o + s)
+        o += s
+    return offs, o
+
+
+def pack_node_data(A, Bm, lx, lu, lxx, luu, lux, d):
+    """Concatenate per-node LQ blocks into one (ns, F, B) array (host/XLA
+    side — one DMA per node inside the kernel)."""
+    ns = A.shape[0]
+    B = A.shape[-1]
+
+    def flat(x):
+        return x.reshape(ns, -1, B)
+
+    return jnp.concatenate(
+        [flat(A), flat(Bm), flat(lx), flat(lu), flat(lxx), flat(luu),
+         flat(lux), flat(d)],
+        axis=1,
+    )
+
+
+# ---------------- kernel -------------------------------------------------
+
 def _backward_kernel(
-    # inputs (VMEM blocks, one batch tile; node axis leading)
-    A_ref, B_ref, lx_ref, lu_ref, lxx_ref, luu_ref, lux_ref, d_ref,
-    VxxT_ref, VxT_ref,
-    # outputs
-    ks_ref, Ks_ref, dV1_ref, dV2_ref,
-    *, ns: int, nx: int, nu: int, mu: float,
+    packed_hbm,        # (ns, F, B) in HBM/ANY
+    VxxT_ref, VxT_ref,  # VMEM blocks (nx, nx, BT), (nx, BT)
+    ks_ref,            # VMEM out (ns, nu, BT)
+    dV1_ref, dV2_ref,  # VMEM out (BT,)
+    Ks_hbm,            # (ns, nu, nx, B) in HBM/ANY (DMA'd out)
+    buf, kbuf, in_sems, out_sems,
+    *, ns: int, nx: int, nu: int, mu: float, block_batch: int,
 ):
+    i = pl.program_id(0)
+    b0 = i * block_batch
+    offs, _F = _offsets(nx, nu)
+
+    def dma_in(n, slot):
+        return pltpu.make_async_copy(
+            packed_hbm.at[n, :, pl.ds(b0, block_batch)],
+            buf.at[slot],
+            in_sems.at[slot],
+        )
+
+    def dma_out(n, slot):
+        return pltpu.make_async_copy(
+            kbuf.at[slot],
+            Ks_hbm.at[n, :, :, pl.ds(b0, block_batch)],
+            out_sems.at[slot],
+        )
+
+    def unpack(data, name, shape):
+        lo, hi = offs[name]
+        return data[lo:hi].reshape(shape + (block_batch,))
+
+    dma_in(ns - 1, (ns - 1) % 2).start()
+
     Vxx = VxxT_ref[:]
     Vx = VxT_ref[:]
-    bt = Vx.shape[-1]
+    bt = block_batch
     dV1 = jnp.zeros((bt,), Vx.dtype)
     dV2 = jnp.zeros((bt,), Vx.dtype)
     mu_eye = mu * jnp.eye(nu, dtype=Vx.dtype)[:, :, None]
 
     for n in range(ns - 1, -1, -1):
-        A = A_ref[n]
-        Bm = B_ref[n]
-        d = d_ref[n]
+        slot = n % 2
+        if n > 0:
+            dma_in(n - 1, 1 - slot).start()
+        dma_in(n, slot).wait()
+        data = buf[slot]
+        A = unpack(data, "A", (nx, nx))
+        Bm = unpack(data, "B", (nx, nu))
+        lx = unpack(data, "lx", (nx,))
+        lu = unpack(data, "lu", (nu,))
+        lxx = unpack(data, "lxx", (nx, nx))
+        luu = unpack(data, "luu", (nu, nu))
+        lux = unpack(data, "lux", (nu, nx))
+        d = unpack(data, "d", (nx,))
+
         Vx_d = Vx + _mv(Vxx, d)
-        Qx = lx_ref[n] + _mv_tn(A, Vx_d)
-        Qu = lu_ref[n] + _mv_tn(Bm, Vx_d)
+        Qx = lx + _mv_tn(A, Vx_d)
+        Qu = lu + _mv_tn(Bm, Vx_d)
         VA = _mm(Vxx, A)
         VB = _mm(Vxx, Bm)
-        Qxx = lxx_ref[n] + _mm_tn(A, VA)
-        Quu = luu_ref[n] + _mm_tn(Bm, VB) + mu_eye
-        Qux = lux_ref[n] + _mm_tn(Bm, VA)
+        Qxx = lxx + _mm_tn(A, VA)
+        Quu = luu + _mm_tn(Bm, VB) + mu_eye
+        Qux = lux + _mm_tn(Bm, VA)
         iQ = _spd_inv(Quu)
         k = -_mv(iQ, Qu)
         K = -_mm(iQ, Qux)
@@ -155,64 +226,75 @@ def _backward_kernel(
         Vxx = 0.5 * (Vxx_new + _transpose(Vxx_new))
         dV1 = dV1 + jnp.sum(k * Qu, axis=0)
         dV2 = dV2 + 0.5 * jnp.sum(k * Quu_k, axis=0)
+
         ks_ref[n] = k
-        Ks_ref[n] = K
+        # stream the feedback gain out; the same slot's previous transfer
+        # (node n+2) must have drained before we overwrite its buffer
+        if n <= ns - 3:
+            dma_out(n + 2, slot).wait()
+        kbuf[slot] = K
+        dma_out(n, slot).start()
+
+    # drain the last two gain transfers
+    dma_out(0, 0).wait()
+    if ns >= 2:
+        dma_out(1, 1).wait()
 
     dV1_ref[:] = dV1
     dV2_ref[:] = dV2
 
 
 def backward_sweep_pallas(
-    A, Bm, lx, lu, lxx, luu, lux, d, VxxT, VxT,
-    mu: float,
+    packed, VxxT, VxT,
+    *, nx: int, nu: int, mu: float,
     block_batch: int = 128,
     interpret: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Run the fused sweep. All array args lane-major with trailing batch:
-    A (ns, nx, nx, B), ..., VxxT (nx, nx, B), VxT (nx, B). B must be a
-    multiple of block_batch. Returns (ks (ns,nu,B), Ks (ns,nu,nx,B),
+    """packed: (ns, F, B) from `pack_node_data`; VxxT (nx, nx, B),
+    VxT (nx, B). Returns lane-major (ks (ns,nu,B), Ks (ns,nu,nx,B),
     dV1 (B,), dV2 (B,))."""
-    ns, nx, _, B = A.shape
-    nu = Bm.shape[2]
+    ns, F, B = packed.shape
     assert B % block_batch == 0, (B, block_batch)
     grid = (B // block_batch,)
-    dtype = A.dtype
+    dtype = packed.dtype
 
-    def bspec(rank_prefix):
-        # block over the trailing batch axis only
-        def index_map(i):
-            return tuple([0] * rank_prefix) + (i,)
-        return index_map
-
-    def spec(shape_prefix):
+    def batch_spec(prefix):
         return pl.BlockSpec(
-            shape_prefix + (block_batch,),
-            bspec(len(shape_prefix)),
+            prefix + (block_batch,),
+            lambda i, _p=len(prefix): (0,) * _p + (i,),
             memory_space=pltpu.VMEM,
         )
 
     kernel = functools.partial(
-        _backward_kernel, ns=ns, nx=nx, nu=nu, mu=mu
+        _backward_kernel, ns=ns, nx=nx, nu=nu, mu=mu,
+        block_batch=block_batch,
     )
-    ks, Ks, dV1, dV2 = pl.pallas_call(
+    ks, dV1, dV2, Ks = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            spec((ns, nx, nx)), spec((ns, nx, nu)),
-            spec((ns, nx)), spec((ns, nu)),
-            spec((ns, nx, nx)), spec((ns, nu, nu)), spec((ns, nu, nx)),
-            spec((ns, nx)),
-            spec((nx, nx)), spec((nx,)),
+            pl.BlockSpec(memory_space=pl.ANY),     # packed stays in HBM
+            batch_spec((nx, nx)),
+            batch_spec((nx,)),
         ],
         out_specs=[
-            spec((ns, nu)), spec((ns, nu, nx)), spec(()), spec(()),
+            batch_spec((ns, nu)),
+            batch_spec(()),
+            batch_spec(()),
+            pl.BlockSpec(memory_space=pl.ANY),     # Ks streamed via DMA
         ],
         out_shape=[
             jax.ShapeDtypeStruct((ns, nu, B), dtype),
+            jax.ShapeDtypeStruct((B,), dtype),
+            jax.ShapeDtypeStruct((B,), dtype),
             jax.ShapeDtypeStruct((ns, nu, nx, B), dtype),
-            jax.ShapeDtypeStruct((B,), dtype),
-            jax.ShapeDtypeStruct((B,), dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, F, block_batch), dtype),
+            pltpu.VMEM((2, nu, nx, block_batch), dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
-    )(A, Bm, lx, lu, lxx, luu, lux, d, VxxT, VxT)
+    )(packed, VxxT, VxT)
     return ks, Ks, dV1, dV2
