@@ -54,45 +54,67 @@ def _mm(A, Bm):
 
 
 def _mv(A, v):
-    return jnp.sum(A * v[None, :, :], axis=1)
+    """y[i,b] = Σ_k A[i,k,b]·v[k,b] — unrolled (Mosaic dislikes axis
+    reductions that change the sublane layout)."""
+    K = A.shape[1]
+    acc = A[:, 0, :] * v[0][None, :]
+    for k in range(1, K):
+        acc = acc + A[:, k, :] * v[k][None, :]
+    return acc
 
 
 def _mv_tn(A, v):
-    return jnp.sum(A * v[:, None, :], axis=0)
+    """y[i,b] = Σ_k A[k,i,b]·v[k,b] — unrolled."""
+    K = A.shape[0]
+    acc = A[0] * v[0][None, :]
+    for k in range(1, K):
+        acc = acc + A[k] * v[k][None, :]
+    return acc
+
+
+def _vdot(a, b):
+    """s[1,b] = Σ_i a[i,b]·b[i,b] — 2D result (1, B)."""
+    prod = a * b
+    return jnp.sum(prod, axis=0, keepdims=True)
 
 
 def _transpose(A):
     return jnp.swapaxes(A, 0, 1)
 
 
+def _row(x):
+    """(B,) lane vector -> (1, B) 2D row (keeps Mosaic layouts happy)."""
+    return x[None, :]
+
+
 def _inv2(A):
-    a, b, c, d = A[0, 0], A[0, 1], A[1, 0], A[1, 1]
+    # all intermediates kept 2D: (1, B)
+    a, b = _row(A[0, 0]), _row(A[0, 1])
+    c, d = _row(A[1, 0]), _row(A[1, 1])
     det = a * d - b * c
-    r0 = jnp.stack([d, -b], axis=0)
-    r1 = jnp.stack([-c, a], axis=0)
-    return jnp.stack([r0, r1], axis=0) / det[None, None, :]
+    r0 = jnp.concatenate([d / det, -b / det], axis=0)      # (2, B)
+    r1 = jnp.concatenate([-c / det, a / det], axis=0)
+    return jnp.concatenate([r0[None], r1[None]], axis=0)   # (2, 2, B)
 
 
 def _inv3(A):
-    c00 = A[1, 1] * A[2, 2] - A[1, 2] * A[2, 1]
-    c01 = A[0, 2] * A[2, 1] - A[0, 1] * A[2, 2]
-    c02 = A[0, 1] * A[1, 2] - A[0, 2] * A[1, 1]
-    c10 = A[1, 2] * A[2, 0] - A[1, 0] * A[2, 2]
-    c11 = A[0, 0] * A[2, 2] - A[0, 2] * A[2, 0]
-    c12 = A[0, 2] * A[1, 0] - A[0, 0] * A[1, 2]
-    c20 = A[1, 0] * A[2, 1] - A[1, 1] * A[2, 0]
-    c21 = A[0, 1] * A[2, 0] - A[0, 0] * A[2, 1]
-    c22 = A[0, 0] * A[1, 1] - A[0, 1] * A[1, 0]
-    det = A[0, 0] * c00 + A[0, 1] * c10 + A[0, 2] * c20
-    adj = jnp.stack(
-        [
-            jnp.stack([c00, c01, c02], axis=0),
-            jnp.stack([c10, c11, c12], axis=0),
-            jnp.stack([c20, c21, c22], axis=0),
-        ],
-        axis=0,
-    )
-    return adj / det[None, None, :]
+    a = [[_row(A[i, j]) for j in range(3)] for i in range(3)]
+    c00 = a[1][1] * a[2][2] - a[1][2] * a[2][1]
+    c01 = a[0][2] * a[2][1] - a[0][1] * a[2][2]
+    c02 = a[0][1] * a[1][2] - a[0][2] * a[1][1]
+    c10 = a[1][2] * a[2][0] - a[1][0] * a[2][2]
+    c11 = a[0][0] * a[2][2] - a[0][2] * a[2][0]
+    c12 = a[0][2] * a[1][0] - a[0][0] * a[1][2]
+    c20 = a[1][0] * a[2][1] - a[1][1] * a[2][0]
+    c21 = a[0][1] * a[2][0] - a[0][0] * a[2][1]
+    c22 = a[0][0] * a[1][1] - a[0][1] * a[1][0]
+    det = a[0][0] * c00 + a[0][1] * c10 + a[0][2] * c20
+    rows = [
+        jnp.concatenate([c00 / det, c01 / det, c02 / det], axis=0),
+        jnp.concatenate([c10 / det, c11 / det, c12 / det], axis=0),
+        jnp.concatenate([c20 / det, c21 / det, c22 / det], axis=0),
+    ]
+    return jnp.concatenate([r[None] for r in rows], axis=0)  # (3, 3, B)
 
 
 def _spd_inv(A):
@@ -188,8 +210,8 @@ def _backward_kernel(
     Vxx = VxxT_ref[:]
     Vx = VxT_ref[:]
     bt = block_batch
-    dV1 = jnp.zeros((bt,), Vx.dtype)
-    dV2 = jnp.zeros((bt,), Vx.dtype)
+    dV1 = jnp.zeros((1, bt), Vx.dtype)
+    dV2 = jnp.zeros((1, bt), Vx.dtype)
     mu_eye = mu * jnp.eye(nu, dtype=Vx.dtype)[:, :, None]
 
     for n in range(ns - 1, -1, -1):
@@ -224,8 +246,8 @@ def _backward_kernel(
         KtQux = _mm_tn(K, Qux)
         Vxx_new = Qxx + _mm(KQuu, K) + KtQux + _transpose(KtQux)
         Vxx = 0.5 * (Vxx_new + _transpose(Vxx_new))
-        dV1 = dV1 + jnp.sum(k * Qu, axis=0)
-        dV2 = dV2 + 0.5 * jnp.sum(k * Quu_k, axis=0)
+        dV1 = dV1 + _vdot(k, Qu)
+        dV2 = dV2 + 0.5 * _vdot(k, Quu_k)
 
         ks_ref[n] = k
         # stream the feedback gain out; the same slot's previous transfer
@@ -279,14 +301,14 @@ def backward_sweep_pallas(
         ],
         out_specs=[
             batch_spec((ns, nu)),
-            batch_spec(()),
-            batch_spec(()),
+            batch_spec((1,)),
+            batch_spec((1,)),
             pl.BlockSpec(memory_space=pl.ANY),     # Ks streamed via DMA
         ],
         out_shape=[
             jax.ShapeDtypeStruct((ns, nu, B), dtype),
-            jax.ShapeDtypeStruct((B,), dtype),
-            jax.ShapeDtypeStruct((B,), dtype),
+            jax.ShapeDtypeStruct((1, B), dtype),
+            jax.ShapeDtypeStruct((1, B), dtype),
             jax.ShapeDtypeStruct((ns, nu, nx, B), dtype),
         ],
         scratch_shapes=[
@@ -297,4 +319,4 @@ def backward_sweep_pallas(
         ],
         interpret=interpret,
     )(packed, VxxT, VxT)
-    return ks, Ks, dV1, dV2
+    return ks, Ks, dV1[0], dV2[0]
