@@ -251,15 +251,37 @@ class MSDDP:
         dV1 (B,), dV2 (B,))."""
         nx, nu = self.ocp.nx, self.ocp.nu
         dtype = lin["rho"].dtype
-        A, Bm, lx, lu, lxx, luu, lux, d, Vxx_T, Vx_T = self._lanemajor_lq(lin)
+
+        def to_lm(x):  # (B, ns, ...) -> (ns, ..., B)
+            return jnp.moveaxis(x, 0, -1)
+
+        A = to_lm(lin["A"])
+        Bm = to_lm(lin["B"])
+        Jx = to_lm(lin["Jx"])
+        Ju = to_lm(lin["Ju"])
+        rho = to_lm(lin["rho"])
+        d = to_lm(lin["d"])
+        Jt = to_lm(lin["Jt"])
+        rt = to_lm(lin["rt"])
+        Vxx_T = 2.0 * lm_matmul_tn(Jt, Jt)
+        Vx_T = 2.0 * lm_matvec_tn(Jt, rt)
 
         Bsz = lin["rho"].shape[0]
         eye_mu = mu * jnp.eye(nu, dtype=dtype)[:, :, None]
         zero = jnp.zeros((Bsz,), dtype)
 
+        # note: the GN quadratics are computed INSIDE the scan — hoisting
+        # them out (node-parallel broadcast-reduce) measured SLOWER on TPU
+        # (36.9 ms vs 28.6 ms backward at B=1024); XLA's in-scan fusion of
+        # the (nr × n) contractions wins.
         def node(carry, inp):
             Vx, Vxx, dV1, dV2 = carry
-            A_, B_, lx, lu, lxx, luu, lux, d_ = inp
+            A_, B_, Jx_, Ju_, rho_, d_ = inp
+            lx = 2.0 * lm_matvec_tn(Jx_, rho_)
+            lu = 2.0 * lm_matvec_tn(Ju_, rho_)
+            lxx = 2.0 * lm_matmul_tn(Jx_, Jx_)
+            luu = 2.0 * lm_matmul_tn(Ju_, Ju_)
+            lux = 2.0 * lm_matmul_tn(Ju_, Jx_)
             Vx_d = Vx + lm_matvec(Vxx, d_)
             Qx = lx + lm_matvec_tn(A_, Vx_d)
             Qu = lu + lm_matvec_tn(B_, Vx_d)
@@ -286,7 +308,7 @@ class MSDDP:
 
         (_, _, dV1, dV2), (ks, Ks) = jax.lax.scan(
             node, (Vx_T, Vxx_T, zero, zero),
-            (A, Bm, lx, lu, lxx, luu, lux, d),
+            (A, Bm, Jx, Ju, rho, d),
             reverse=True,
         )
         # back to batch-first
@@ -321,16 +343,16 @@ class MSDDP:
             ** jnp.arange(K_ls, dtype=state.X.dtype)
         )
         vroll = jax.vmap(
-            lambda x0_, X_, U_, k_, K_, d_, p_, a: self._rollout_cost(
+            lambda x0_, X_, U_, k_, K_, d_, p_, a: self._rollout(
                 x0_, X_, U_, k_, K_, d_, p_, a
             ),
             in_axes=(0, 0, 0, 0, 0, 0, 0, None),
         )
+        vcost = jax.vmap(self.total_cost)
 
         def trial(a):
-            Xn, Un, new_cost = vroll(
-                x0, state.X, state.U, ks, Ks, lin["d"], params, a
-            )
+            Xn, Un = vroll(x0, state.X, state.U, ks, Ks, lin["d"], params, a)
+            new_cost = vcost(Xn, Un, params)
             new_merit = new_cost + nu_w * (1.0 - a) ** 2 * D
             expected = -(a * dV1 + a**2 * dV2) + (2.0 * a - a**2) * nu_w * D
             ok = (
@@ -661,9 +683,13 @@ class MSDDP:
                 D_new = jnp.sum(dn * dn)
                 new_cost = self.total_cost(Xn, Un, params)
             else:
-                Xn, Un, new_cost = self._rollout_cost(
+                # rollout (sequential scan) + cost as a SEPARATE pass: the
+                # cost sweep is node-parallel (vmapped); fusing it into the
+                # rollout scan measured slower on TPU (serializes it)
+                Xn, Un = self._rollout(
                     x0, state.X, state.U, ks, Ks, lin["d"], params, a
                 )
+                new_cost = self.total_cost(Xn, Un, params)
                 D_new = (1.0 - a) ** 2 * D  # exact by construction
             new_merit = new_cost + nu * D_new
             expected = -(a * dV1 + a**2 * dV2) + (2.0 * a - a**2) * nu * D
