@@ -158,18 +158,24 @@ def _offsets(nx: int, nu: int):
 
 def pack_node_data(A, Bm, lx, lu, lxx, luu, lux, d):
     """Concatenate per-node LQ blocks into one (ns, F, B) array (host/XLA
-    side — one DMA per node inside the kernel)."""
+    side — one DMA per node inside the kernel). F is padded to a multiple
+    of 8 so HBM memref slices stay sublane-tile aligned."""
     ns = A.shape[0]
     B = A.shape[-1]
 
     def flat(x):
         return x.reshape(ns, -1, B)
 
-    return jnp.concatenate(
+    packed = jnp.concatenate(
         [flat(A), flat(Bm), flat(lx), flat(lu), flat(lxx), flat(luu),
          flat(lux), flat(d)],
         axis=1,
     )
+    F = packed.shape[1]
+    pad = (-F) % 8
+    if pad:
+        packed = jnp.pad(packed, ((0, 0), (0, pad), (0, 0)))
+    return packed
 
 
 # ---------------- kernel -------------------------------------------------
