@@ -147,16 +147,17 @@ class MPCLoop:
         """Batched tick over a leading scenario axis — identical semantics
         to vmap(tick) but routing the solve through the lane-major batched
         solver path (solve_batch). This is the production fleet hot path."""
-        params, wpg_state = jax.vmap(self.wpg_advance_with_refs)(
+        params, wpg_state = jax.vmap(self._pre_solve)(
             carry.params, carry.wpg_state, inp
         )
         sol = self.solver.solve_batch(carry.sol, carry.x, params)
         x_next, out = jax.vmap(self._post_solve)(carry.x, sol, params)
         return LoopCarry(x=x_next, sol=sol, params=params, wpg_state=wpg_state), out
 
-    # alias used by tick_batch's vmap (bound methods with dicts vmap fine)
-    def wpg_advance_with_refs(self, params, wpg_state, inp):
-        return self._pre_solve(params, wpg_state, inp)
+    def run_batch(self, carry: LoopCarry, schedule: TickInput) -> Tuple[LoopCarry, TickOutput]:
+        """Scan tick_batch over a (T,)-leading schedule of batched inputs:
+        a whole fleet episode as one XLA computation."""
+        return jax.lax.scan(self.tick_batch, carry, schedule)
 
     def run(self, carry: LoopCarry, schedule: TickInput) -> Tuple[LoopCarry, TickOutput]:
         """Scan the tick over a (T,)-leading schedule: a whole closed-loop

@@ -594,33 +594,6 @@ class MSDDP:
         Xnew = jnp.concatenate([Xs, x_final[None]], axis=0)
         return Xnew, Us
 
-    def _rollout_cost(self, x0, X, U, ks, Ks, d, params, alpha):
-        """Forward pass with the stage cost fused into the same scan — one
-        pass over the horizon per line-search trial instead of two
-        (rollout + separate cost sweep)."""
-        dt = self.ocp.dt
-        ns = self.ocp.ns
-        p_stage = {k: v[:ns] for k, v in params.items()}
-
-        def node(carry, inp):
-            xhat, acc = carry
-            Xn, Un, kn, Kn, dn, pn = inp
-            u = Un + alpha * kn + Kn @ (xhat - Xn)
-            rho = self._stage_rho(xhat, u, pn)
-            acc = acc + jnp.sum(rho * rho)
-            xnext = self.ocp.step(xhat, u, pn, dt) - (1.0 - alpha) * dn
-            return (xnext, acc), (xhat, u)
-
-        (x_final, acc), (Xs, Us) = jax.lax.scan(
-            node, (x0, jnp.zeros((), x0.dtype)),
-            (X[:ns], U, ks, Ks, d, p_stage),
-        )
-        Xnew = jnp.concatenate([Xs, x_final[None]], axis=0)
-        p_term = {k: v[ns] for k, v in params.items()}
-        rt = self.ocp.terminal_residual(x_final, p_term)
-        total = acc + jnp.sum(rt * rt)
-        return Xnew, Us, total
-
     def _forward_linear(self, x0, X, U, ks, Ks, lin, params, alpha):
         """Linearized forward pass — the Gauss-Newton/SQP step:
             δx₀ = x0 − X₀

@@ -260,7 +260,10 @@ def _backward_kernel(
         # (node n+2) must have drained before we overwrite its buffer
         if n <= ns - 3:
             dma_out(n + 2, slot).wait()
-        kbuf[slot] = K
+        # kbuf's nx axis is padded to a sublane multiple so the out-DMA
+        # slices stay tile-aligned; pad rows carry garbage (sliced off by
+        # the caller)
+        kbuf[slot, :, :nx, :] = K
         dma_out(n, slot).start()
 
     # drain the last two gain transfers
@@ -285,6 +288,7 @@ def backward_sweep_pallas(
     assert B % block_batch == 0, (B, block_batch)
     grid = (B // block_batch,)
     dtype = packed.dtype
+    nxp = ((nx + 7) // 8) * 8  # sublane-aligned nx for the Ks stream
 
     def batch_spec(prefix):
         return pl.BlockSpec(
@@ -315,14 +319,14 @@ def backward_sweep_pallas(
             jax.ShapeDtypeStruct((ns, nu, B), dtype),
             jax.ShapeDtypeStruct((1, B), dtype),
             jax.ShapeDtypeStruct((1, B), dtype),
-            jax.ShapeDtypeStruct((ns, nu, nx, B), dtype),
+            jax.ShapeDtypeStruct((ns, nu, nxp, B), dtype),
         ],
         scratch_shapes=[
             pltpu.VMEM((2, F, block_batch), dtype),
-            pltpu.VMEM((2, nu, nx, block_batch), dtype),
+            pltpu.VMEM((2, nu, nxp, block_batch), dtype),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
     )(packed, VxxT, VxT)
-    return ks, Ks, dV1[0], dV2[0]
+    return ks, Ks[:, :, :nx, :], dV1[0], dV2[0]
