@@ -66,18 +66,24 @@ def main(batch: int = 1024, n_ticks: int = 10, ns: int = 20,
     carries, out = vtick(carries, make_inp(1))
     jax.block_until_ready(carries)
 
-    t0 = time.perf_counter()
+    # per-tick device sync: slightly pessimistic (no dispatch pipelining)
+    # but robust — a chained-dispatch measurement can silently report
+    # nonsense if the runtime misbehaves
+    times = []
     for t in range(n_ticks):
+        t0 = time.perf_counter()
         carries, out = vtick(carries, make_inp(t))
-    jax.block_until_ready(carries)
-    elapsed = time.perf_counter() - t0
+        jax.block_until_ready(out)
+        times.append(time.perf_counter() - t0)
+    elapsed = sum(times)
 
     ticks_per_s = n_ticks / elapsed
     solves_per_s = ticks_per_s * B
     finite = bool(np.all(np.isfinite(np.asarray(out.x))))
     max_defect = float(np.max(np.asarray(out.defect_norm)))
+    iters_mean = float(np.mean(np.asarray(out.iterations)))
 
-    print(json.dumps({
+    result = {
         "metric": "srbd_mpc_solves_per_s",
         "value": round(solves_per_s, 1),
         "unit": "solve/s",
@@ -89,8 +95,12 @@ def main(batch: int = 1024, n_ticks: int = 10, ns: int = 20,
         "realtime_ok": bool(1e3 / ticks_per_s <= 100.0),
         "finite": finite,
         "max_defect": max_defect,
+        "solver_iters_mean": round(iters_mean, 2),
         "device": str(jax.devices()[0]),
-    }))
+    }
+    # sanity: a warm MPC tick must actually iterate the solver
+    result["suspect"] = bool(iters_mean < 0.5 or not finite)
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":
