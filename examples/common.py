@@ -32,6 +32,17 @@ def parse_args(name: str):
     ap.add_argument("--out", type=str, default=f"/tmp/{name}")
     ap.add_argument("--f64", action="store_true", help="run in float64")
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
+    ap.add_argument(
+        "--teleop-port", type=int, default=0,
+        help="UDP port for live teleop commands (the reference's /joy "
+        "topic role): JSON {vx, vy, action} on topic 'teleop' — see "
+        "examples/teleop_sender.py",
+    )
+    ap.add_argument(
+        "--telemetry-port", type=int, default=0,
+        help="publish per-tick telemetry JSON over UDP (solution_time / "
+        "srbd_constraint topic analogs)",
+    )
     return ap.parse_args()
 
 
@@ -46,7 +57,7 @@ def setup(args):
 def run_closed_loop(loop, prob, args, dtype):
     from srbd_horizon_tpu.io.cartesio import CartesianReferenceFormatter
     from srbd_horizon_tpu.io.telemetry import TelemetryRecorder, export_trajectory_json
-    from srbd_horizon_tpu.runtime.loop import walking_schedule
+    from srbd_horizon_tpu.runtime.loop import TickInput, walking_schedule
 
     carry = loop.init(prob.initial_state)
     sched = walking_schedule(
@@ -58,9 +69,34 @@ def run_closed_loop(loop, prob, args, dtype):
         ["left_sole_link", "right_sole_link"], contact_model=prob.contact_model
     )
 
+    # live teleop input (the /joy role, dsrbd_example.py:49,86-99) and
+    # telemetry output (the /solution_time, /srbd_constraint topics) over
+    # the native bridge
+    teleop_sub = telemetry_pub = None
+    if getattr(args, "teleop_port", 0):
+        from srbd_horizon_tpu.runtime.bridge import Subscriber
+        teleop_sub = Subscriber(args.teleop_port)
+    if getattr(args, "telemetry_port", 0):
+        from srbd_horizon_tpu.runtime.bridge import Publisher
+        telemetry_pub = Publisher(port=args.telemetry_port)
+
     refs_last = None
+    teleop_cmd = None
     for t in range(args.ticks):
         inp = jax.tree.map(lambda a: a[t], sched)
+        if teleop_sub is not None:
+            msg = teleop_sub.poll_json(timeout_ms=0)
+            if msg is not None and msg[0] == "teleop":
+                teleop_cmd = msg[1]
+            if teleop_cmd is not None:
+                inp = TickInput(
+                    action=jnp.asarray(int(teleop_cmd.get("action", 1)), jnp.int32),
+                    rdot_ref=jnp.asarray(
+                        [teleop_cmd.get("vx", 0.0), teleop_cmd.get("vy", 0.0), 0.0],
+                        dtype,
+                    ),
+                    w_ref=jnp.zeros(3, dtype),
+                )
         rec.tick_start()
         carry, out = tick(carry, inp)
         jax.block_until_ready(out.x)
@@ -72,6 +108,16 @@ def run_closed_loop(loop, prob, args, dtype):
         refs_last = ci.make_references(
             {k: np.asarray(v) for k, v in sol.items()}
         )
+        if telemetry_pub is not None:
+            telemetry_pub.publish_json("solution_time", {
+                "tick": t, "cost": float(out.cost),
+                "iterations": int(out.iterations),
+            })
+            telemetry_pub.publish_json(
+                "srbd_constraint",
+                {"residual": np.asarray(out.srbd_residual).tolist()},
+            )
+            telemetry_pub.publish_json("cartesian_references", refs_last)
 
     rec.save(args.out)
     sol = loop.solver.solution_dict(carry.sol)
