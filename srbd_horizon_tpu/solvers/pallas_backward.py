@@ -213,17 +213,21 @@ def _backward_kernel(
 
     dma_in(ns - 1, (ns - 1) % 2).start()
 
-    Vxx = VxxT_ref[:]
-    Vx = VxT_ref[:]
     bt = block_batch
-    dV1 = jnp.zeros((1, bt), Vx.dtype)
-    dV2 = jnp.zeros((1, bt), Vx.dtype)
-    mu_eye = mu * jnp.eye(nu, dtype=Vx.dtype)[:, :, None]
+    mu_eye = mu * jnp.eye(nu, dtype=VxT_ref.dtype)[:, :, None]
 
-    for n in range(ns - 1, -1, -1):
-        slot = n % 2
-        if n > 0:
+    # node loop as fori_loop (one traced body instead of ns unrolled
+    # copies — the fully unrolled form produced ~30k vector ops and
+    # pathological Mosaic compile times)
+    def body(t, carry):
+        Vx, Vxx, dV1, dV2 = carry
+        n = ns - 1 - t
+        slot = jax.lax.rem(n, 2)
+
+        @pl.when(n > 0)
+        def _():
             dma_in(n - 1, 1 - slot).start()
+
         dma_in(n, slot).wait()
         data = buf[slot]
         A = unpack(data, "A", (nx, nx))
@@ -248,23 +252,34 @@ def _backward_kernel(
         K = -_mm(iQ, Qux)
         Quu_k = _mv(Quu, k)
         KQuu = _mm_tn(K, Quu)
-        Vx = Qx + _mv(KQuu, k) + _mv_tn(K, Qu) + _mv_tn(Qux, k)
+        Vx_new = Qx + _mv(KQuu, k) + _mv_tn(K, Qu) + _mv_tn(Qux, k)
         KtQux = _mm_tn(K, Qux)
         Vxx_new = Qxx + _mm(KQuu, K) + KtQux + _transpose(KtQux)
-        Vxx = 0.5 * (Vxx_new + _transpose(Vxx_new))
+        Vxx_new = 0.5 * (Vxx_new + _transpose(Vxx_new))
         dV1 = dV1 + _vdot(k, Qu)
         dV2 = dV2 + 0.5 * _vdot(k, Quu_k)
 
         ks_ref[n] = k
-        # stream the feedback gain out; the same slot's previous transfer
-        # (node n+2) must have drained before we overwrite its buffer
-        if n <= ns - 3:
+        # the same slot's previous transfer (node n+2) must have drained
+        # before its buffer is overwritten
+        @pl.when(n <= ns - 3)
+        def _():
             dma_out(n + 2, slot).wait()
+
         # kbuf's nx axis is padded to a sublane multiple so the out-DMA
         # slices stay tile-aligned; pad rows carry garbage (sliced off by
         # the caller)
         kbuf[slot, :, :nx, :] = K
         dma_out(n, slot).start()
+        return (Vx_new, Vxx_new, dV1, dV2)
+
+    init = (
+        VxT_ref[:],
+        VxxT_ref[:],
+        jnp.zeros((1, bt), VxT_ref.dtype),
+        jnp.zeros((1, bt), VxT_ref.dtype),
+    )
+    _, _, dV1, dV2 = jax.lax.fori_loop(0, ns, body, init)
 
     # drain the last two gain transfers
     dma_out(0, 0).wait()
