@@ -181,113 +181,69 @@ def pack_node_data(A, Bm, lx, lu, lxx, luu, lux, d):
 # ---------------- kernel -------------------------------------------------
 
 def _backward_kernel(
-    packed_hbm,        # (ns, F, B) in HBM/ANY
-    VxxT_ref, VxT_ref,  # VMEM blocks (nx, nx, BT), (nx, BT)
-    ks_ref,            # VMEM out (ns, nu, BT)
-    dV1_ref, dV2_ref,  # VMEM out (BT,)
-    Ks_hbm,            # (ns, nu, nx, B) in HBM/ANY (DMA'd out)
-    buf, kbuf, in_sems, out_sems,
-    *, ns: int, nx: int, nu: int, mu: float, block_batch: int,
+    packed_ref,        # (1, F, BT) — this node's LQ data (auto-pipelined)
+    VxxT_ref, VxT_ref,  # (nx, nx, BT), (nx, BT) — terminal value
+    ks_ref,            # (1, nu, BT) out
+    Ks_ref,            # (1, nu, nx, BT) out
+    dV1_ref, dV2_ref,  # (1, BT) out (revisited block; final write wins)
+    Vxx_s, Vx_s,       # persistent VMEM scratch — the value carry
+    *, ns: int, nx: int, nu: int, mu: float,
 ):
-    i = pl.program_id(0)
-    b0 = i * block_batch
+    """One grid step = one (batch tile, node) pair. The grid's inner
+    dimension walks nodes in reverse; Pallas pipelines the packed node
+    slabs HBM→VMEM automatically (double-buffered), and the value function
+    persists in scratch across the sequential grid steps."""
+    n_rev = pl.program_id(1)           # 0 .. ns-1, node = ns-1-n_rev
     offs, _F = _offsets(nx, nu)
 
-    def dma_in(n, slot):
-        return pltpu.make_async_copy(
-            packed_hbm.at[n, :, pl.ds(b0, block_batch)],
-            buf.at[slot],
-            in_sems.at[slot],
-        )
+    @pl.when(n_rev == 0)
+    def _():
+        Vxx_s[:] = VxxT_ref[:]
+        Vx_s[:] = VxT_ref[:]
+        dV1_ref[:] = jnp.zeros_like(dV1_ref)
+        dV2_ref[:] = jnp.zeros_like(dV2_ref)
 
-    def dma_out(n, slot):
-        return pltpu.make_async_copy(
-            kbuf.at[slot],
-            Ks_hbm.at[n, :, :, pl.ds(b0, block_batch)],
-            out_sems.at[slot],
-        )
-
-    def unpack(data, name, shape):
+    def unpack(name, shape):
         lo, hi = offs[name]
-        return data[lo:hi].reshape(shape + (block_batch,))
+        return packed_ref[0, lo:hi].reshape(shape + (packed_ref.shape[-1],))
 
-    dma_in(ns - 1, (ns - 1) % 2).start()
+    A = unpack("A", (nx, nx))
+    Bm = unpack("B", (nx, nu))
+    lx = unpack("lx", (nx,))
+    lu = unpack("lu", (nu,))
+    lxx = unpack("lxx", (nx, nx))
+    luu = unpack("luu", (nu, nu))
+    lux = unpack("lux", (nu, nx))
+    d = unpack("d", (nx,))
 
-    bt = block_batch
-    mu_eye = mu * jnp.eye(nu, dtype=VxT_ref.dtype)[:, :, None]
+    mu_eye = mu * jnp.eye(nu, dtype=lx.dtype)[:, :, None]
+    Vxx = Vxx_s[:]
+    Vx = Vx_s[:]
 
-    # node loop as fori_loop (one traced body instead of ns unrolled
-    # copies — the fully unrolled form produced ~30k vector ops and
-    # pathological Mosaic compile times)
-    def body(t, carry):
-        Vx, Vxx, dV1, dV2 = carry
-        n = ns - 1 - t
-        slot = jax.lax.rem(n, 2)
+    Vx_d = Vx + _mv(Vxx, d)
+    Qx = lx + _mv_tn(A, Vx_d)
+    Qu = lu + _mv_tn(Bm, Vx_d)
+    VA = _mm(Vxx, A)
+    VB = _mm(Vxx, Bm)
+    Qxx = lxx + _mm_tn(A, VA)
+    Quu = luu + _mm_tn(Bm, VB) + mu_eye
+    Qux = lux + _mm_tn(Bm, VA)
+    iQ = _spd_inv(Quu)
+    k = -_mv(iQ, Qu)
+    K = -_mm(iQ, Qux)
+    Quu_k = _mv(Quu, k)
+    KQuu = _mm_tn(K, Quu)
+    Vx_new = Qx + _mv(KQuu, k) + _mv_tn(K, Qu) + _mv_tn(Qux, k)
+    KtQux = _mm_tn(K, Qux)
+    Vxx_new = Qxx + _mm(KQuu, K) + KtQux + _transpose(KtQux)
+    Vxx_new = 0.5 * (Vxx_new + _transpose(Vxx_new))
 
-        @pl.when(n > 0)
-        def _():
-            dma_in(n - 1, 1 - slot).start()
-
-        dma_in(n, slot).wait()
-        data = buf[slot]
-        A = unpack(data, "A", (nx, nx))
-        Bm = unpack(data, "B", (nx, nu))
-        lx = unpack(data, "lx", (nx,))
-        lu = unpack(data, "lu", (nu,))
-        lxx = unpack(data, "lxx", (nx, nx))
-        luu = unpack(data, "luu", (nu, nu))
-        lux = unpack(data, "lux", (nu, nx))
-        d = unpack(data, "d", (nx,))
-
-        Vx_d = Vx + _mv(Vxx, d)
-        Qx = lx + _mv_tn(A, Vx_d)
-        Qu = lu + _mv_tn(Bm, Vx_d)
-        VA = _mm(Vxx, A)
-        VB = _mm(Vxx, Bm)
-        Qxx = lxx + _mm_tn(A, VA)
-        Quu = luu + _mm_tn(Bm, VB) + mu_eye
-        Qux = lux + _mm_tn(Bm, VA)
-        iQ = _spd_inv(Quu)
-        k = -_mv(iQ, Qu)
-        K = -_mm(iQ, Qux)
-        Quu_k = _mv(Quu, k)
-        KQuu = _mm_tn(K, Quu)
-        Vx_new = Qx + _mv(KQuu, k) + _mv_tn(K, Qu) + _mv_tn(Qux, k)
-        KtQux = _mm_tn(K, Qux)
-        Vxx_new = Qxx + _mm(KQuu, K) + KtQux + _transpose(KtQux)
-        Vxx_new = 0.5 * (Vxx_new + _transpose(Vxx_new))
-        dV1 = dV1 + _vdot(k, Qu)
-        dV2 = dV2 + 0.5 * _vdot(k, Quu_k)
-
-        ks_ref[n] = k
-        # the same slot's previous transfer (node n+2) must have drained
-        # before its buffer is overwritten
-        @pl.when(n <= ns - 3)
-        def _():
-            dma_out(n + 2, slot).wait()
-
-        # kbuf's nx axis is padded to a sublane multiple so the out-DMA
-        # slices stay tile-aligned; pad rows carry garbage (sliced off by
-        # the caller)
-        kbuf[slot, :, :nx, :] = K
-        dma_out(n, slot).start()
-        return (Vx_new, Vxx_new, dV1, dV2)
-
-    init = (
-        VxT_ref[:],
-        VxxT_ref[:],
-        jnp.zeros((1, bt), VxT_ref.dtype),
-        jnp.zeros((1, bt), VxT_ref.dtype),
-    )
-    _, _, dV1, dV2 = jax.lax.fori_loop(0, ns, body, init)
-
-    # drain the last two gain transfers
-    dma_out(0, 0).wait()
-    if ns >= 2:
-        dma_out(1, 1).wait()
-
-    dV1_ref[:] = dV1
-    dV2_ref[:] = dV2
+    Vxx_s[:] = Vxx_new
+    Vx_s[:] = Vx_new
+    ks_ref[0] = k
+    Ks_ref[0] = K
+    dV1_ref[:] = dV1_ref[:] + _vdot(k, Qu)
+    dV2_ref[:] = dV2_ref[:] + 0.5 * _vdot(k, Quu_k)
 
 
 def backward_sweep_pallas(
@@ -301,47 +257,53 @@ def backward_sweep_pallas(
     dV1 (B,), dV2 (B,))."""
     ns, F, B = packed.shape
     assert B % block_batch == 0, (B, block_batch)
-    grid = (B // block_batch,)
+    # grid: batch tiles outer, nodes inner (sequential on TPU — scratch
+    # carries the value function between steps; blocks auto-pipelined)
+    grid = (B // block_batch, ns)
     dtype = packed.dtype
-    nxp = ((nx + 7) // 8) * 8  # sublane-aligned nx for the Ks stream
-
-    def batch_spec(prefix):
-        return pl.BlockSpec(
-            prefix + (block_batch,),
-            lambda i, _p=len(prefix): (0,) * _p + (i,),
-            memory_space=pltpu.VMEM,
-        )
+    bt = block_batch
 
     kernel = functools.partial(
-        _backward_kernel, ns=ns, nx=nx, nu=nu, mu=mu,
-        block_batch=block_batch,
+        _backward_kernel, ns=ns, nx=nx, nu=nu, mu=mu
     )
-    ks, dV1, dV2, Ks = pl.pallas_call(
+    ks, Ks, dV1, dV2 = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),     # packed stays in HBM
-            batch_spec((nx, nx)),
-            batch_spec((nx,)),
+            pl.BlockSpec(
+                (1, F, bt), lambda i, n: (ns - 1 - n, 0, i),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (nx, nx, bt), lambda i, n: (0, 0, i),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (nx, bt), lambda i, n: (0, i), memory_space=pltpu.VMEM
+            ),
         ],
         out_specs=[
-            batch_spec((ns, nu)),
-            batch_spec((1,)),
-            batch_spec((1,)),
-            pl.BlockSpec(memory_space=pl.ANY),     # Ks streamed via DMA
+            pl.BlockSpec(
+                (1, nu, bt), lambda i, n: (ns - 1 - n, 0, i),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, nu, nx, bt), lambda i, n: (ns - 1 - n, 0, 0, i),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((1, bt), lambda i, n: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bt), lambda i, n: (0, i), memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((ns, nu, B), dtype),
+            jax.ShapeDtypeStruct((ns, nu, nx, B), dtype),
             jax.ShapeDtypeStruct((1, B), dtype),
             jax.ShapeDtypeStruct((1, B), dtype),
-            jax.ShapeDtypeStruct((ns, nu, nxp, B), dtype),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, F, block_batch), dtype),
-            pltpu.VMEM((2, nu, nxp, block_batch), dtype),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((nx, nx, bt), dtype),
+            pltpu.VMEM((nx, bt), dtype),
         ],
         interpret=interpret,
     )(packed, VxxT, VxT)
-    return ks, Ks[:, :, :nx, :], dV1[0], dV2[0]
+    return ks, Ks, dV1[0], dV2[0]
