@@ -304,6 +304,12 @@ def backward_sweep_pallas(
             pltpu.VMEM((nx, nx, bt), dtype),
             pltpu.VMEM((nx, bt), dtype),
         ],
+        compiler_params=pltpu.CompilerParams(
+            # Mosaic's default scoped-vmem budget (16M) undercounts what
+            # this body needs transiently; raise it toward the physical
+            # VMEM so the unrolled contractions' live ranges fit
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
         interpret=interpret,
     )(packed, VxxT, VxT)
     return ks, Ks, dV1[0], dV2[0]
