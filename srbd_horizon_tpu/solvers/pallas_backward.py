@@ -1,13 +1,28 @@
-"""Pallas TPU kernel: fused backward Riccati sweep with double-buffered
-HBM streaming.
+"""Pallas TPU kernel: fused backward Riccati sweep (EXPERIMENTAL —
+correct but currently slower than the XLA lane-major path; see status
+below).
 
 Motivation: the XLA lane-major backward (msddp._backward_lanemajor) issues
 ~10 separate fused ops per scan step, each bouncing (nx,nx,B) intermediates
 through HBM. Here the whole sweep for one batch tile runs in a single
 program: the value function (Vxx, Vx) lives in VMEM scratch across all ns
-nodes, each node's LQ data arrives as ONE packed DMA (double-buffered so
-the copy for node n-1 overlaps the compute of node n), and the only HBM
-traffic is one read of the inputs plus one write of the gains.
+nodes, each node's LQ data arrives as one auto-pipelined block per grid
+step, and the only HBM traffic is one read of the inputs plus one write of
+the gains.
+
+STATUS (measured on TPU v5e, B=1024, SRBD nx=37/nu=24/ns=20, f32):
+  - compiles and runs (riccati_mode="pallas"), matches the lane-major
+    backward to f32 roundoff (rel ~1e-3 through the 1e6-penalty algebra);
+  - 55.6 ms vs 27.6 ms for the XLA lane-major backward: Mosaic assigns
+    ~46 MB of stack to the unrolled broadcast-FMA chains (register
+    pressure → VMEM spills → memory-bound), while XLA's reduce fusions
+    keep the same contractions in registers. Lesson recorded in
+    BENCH_NOTES.md; default riccati_mode stays "sequential".
+  - Paths not taken: batch tiles < 128 lanes are rejected by the Mosaic
+    lowering (last block dim must be 128 or full), and fully unrolling the
+    node loop produced pathological compile times. A fori-contraction
+    variant with ref-resident operands is the next step if this kernel is
+    to win.
 
 Layout: batch-on-lanes. Every tensor is (..., BT) with BT scenarios on the
 128-lane axis; all matrix algebra is elementwise VPU work at full lane
