@@ -166,22 +166,29 @@ class ALDDP:
 
     # ---------- solve ----------
 
-    def _with_multipliers(self, params, st: ALState) -> Dict[str, jnp.ndarray]:
+    def _params_with_multipliers(
+        self, params, lam_eq, lam_eq_T, mu_ub, mu_lb, rho
+    ) -> Dict[str, jnp.ndarray]:
         ns = self.ocp.ns
         p = dict(params)
         # stage rows 0..ns-1 hold stage multipliers; row ns is unused there
         p["al_lam_eq"] = jnp.concatenate(
-            [st.lam_eq, jnp.zeros((1,) + st.lam_eq.shape[1:], st.lam_eq.dtype)]
+            [lam_eq, jnp.zeros((1,) + lam_eq.shape[1:], lam_eq.dtype)]
         )
-        p["al_lam_eq_T"] = jnp.tile(st.lam_eq_T[None], (ns + 1, 1))
+        p["al_lam_eq_T"] = jnp.tile(lam_eq_T[None], (ns + 1, 1))
         p["al_mu_ub"] = jnp.concatenate(
-            [st.mu_ub, jnp.zeros((1,) + st.mu_ub.shape[1:], st.mu_ub.dtype)]
+            [mu_ub, jnp.zeros((1,) + mu_ub.shape[1:], mu_ub.dtype)]
         )
         p["al_mu_lb"] = jnp.concatenate(
-            [st.mu_lb, jnp.zeros((1,) + st.mu_lb.shape[1:], st.mu_lb.dtype)]
+            [mu_lb, jnp.zeros((1,) + mu_lb.shape[1:], mu_lb.dtype)]
         )
-        p["al_rho"] = jnp.full((ns + 1, 1), st.rho, st.lam_eq.dtype)
+        p["al_rho"] = jnp.full((ns + 1, 1), rho, lam_eq.dtype)
         return p
+
+    def _with_multipliers(self, params, st: ALState) -> Dict[str, jnp.ndarray]:
+        return self._params_with_multipliers(
+            params, st.lam_eq, st.lam_eq_T, st.mu_ub, st.mu_lb, st.rho
+        )
 
     def solve(self, st: ALState, x0, params) -> ALState:
         """Full AL solve: fixed outer-iteration scan (jittable, vmappable)."""
@@ -221,6 +228,50 @@ class ALDDP:
         st_out, viols = jax.lax.scan(
             outer, st, jnp.arange(opts.outer_iters)
         )
+        return st_out
+
+    def solve_batch(self, st: ALState, x0, params) -> ALState:
+        """Batched AL solve over a leading scenario axis: inner solves run
+        through the lane-major batched MS-DDP path (solve_batch);
+        multiplier updates are elementwise and batch transparently."""
+        opts = self.al_opts
+
+        def outer(st: ALState, _):
+            p_in = jax.vmap(
+                lambda p, l, lT, ub_, lb_, r: self._params_with_multipliers(
+                    p, l, lT, ub_, lb_, r
+                )
+            )(params, st.lam_eq, st.lam_eq_T, st.mu_ub, st.mu_lb, st.rho)
+            sol = self._inner.solve_batch(st.sol, x0, p_in)
+            h, hT, g, viol = jax.vmap(self._constraints)(sol.X, sol.U, params)
+            rho = st.rho[..., None, None]
+            lam_eq = st.lam_eq + rho * h
+            lam_eq_T = st.lam_eq_T + st.rho[..., None] * hT
+            if self.ocp.ineq_ub is not None:
+                ub = jnp.where(jnp.isfinite(self.ocp.ineq_ub), self.ocp.ineq_ub, 0.0)
+                lb = jnp.where(jnp.isfinite(self.ocp.ineq_lb), self.ocp.ineq_lb, 0.0)
+                ub_mask = jnp.isfinite(self.ocp.ineq_ub)
+                lb_mask = jnp.isfinite(self.ocp.ineq_lb)
+                mu_ub = jnp.where(
+                    ub_mask, jnp.maximum(0.0, st.mu_ub + rho * (g - ub)), 0.0
+                )
+                mu_lb = jnp.where(
+                    lb_mask, jnp.maximum(0.0, st.mu_lb + rho * (lb - g)), 0.0
+                )
+            else:
+                mu_ub, mu_lb = st.mu_ub, st.mu_lb
+            grow = viol > opts.viol_decrease * st.viol
+            rho_new = jnp.where(
+                grow & (viol > opts.tol),
+                jnp.minimum(st.rho * opts.rho_growth, opts.rho_max),
+                st.rho,
+            )
+            return ALState(
+                sol=sol, lam_eq=lam_eq, lam_eq_T=lam_eq_T,
+                mu_ub=mu_ub, mu_lb=mu_lb, rho=rho_new, viol=viol,
+            ), viol
+
+        st_out, _ = jax.lax.scan(outer, st, jnp.arange(opts.outer_iters))
         return st_out
 
     def solve_online(self, st: ALState, x0, params) -> ALState:

@@ -104,3 +104,28 @@ class TestISRBDOnline:
             st = online(st, x0, prob.ocp.params)
         assert float(st.viol) < 5e-3
         assert bool(jnp.all(jnp.isfinite(st.sol.X)))
+
+
+class TestISRBDBatch:
+    def test_solve_batch_matches_vmap(self):
+        """Batched AL solve (lane-major inner path) must match vmapped
+        per-instance solves."""
+        cfg, prob, solver = _build(outer_iters=3, max_iters=8)
+        B = 3
+        x0 = jnp.tile(prob.initial_state[None], (B, 1))
+        x0 = x0.at[:, 0].add(jnp.linspace(-0.01, 0.01, B))
+        ns = prob.ocp.ns
+        U0 = jnp.tile(prob.static_input[None], (ns, 1))
+        params = jax.tree.map(
+            lambda a: jnp.tile(a[None], (B,) + (1,) * a.ndim),
+            prob.ocp.params,
+        )
+        st0 = jax.vmap(lambda x: solver.init(x, U0=U0))(x0)
+        ref = jax.vmap(solver.solve)(st0, x0, params)
+        got = jax.jit(solver.solve_batch)(st0, x0, params)
+        np.testing.assert_allclose(
+            np.asarray(got.sol.X), np.asarray(ref.sol.X), rtol=1e-6, atol=1e-7
+        )
+        np.testing.assert_allclose(
+            np.asarray(got.viol), np.asarray(ref.viol), rtol=1e-6, atol=1e-9
+        )
