@@ -362,21 +362,40 @@ class MSDDP:
             )
             return Xn, Un, new_cost, new_merit, ok
 
-        Xs, Us, costs, merits, oks = jax.vmap(trial)(alphas)   # (K, B, ...)
-        accepted = jnp.any(oks, axis=0)                        # (B,)
-        idx = jnp.argmax(oks, axis=0)                          # (B,)
-
-        def pick(arr):  # (K, B, ...) -> (B, ...)
-            return jnp.take_along_axis(
-                arr, idx.reshape((1,) + idx.shape + (1,) * (arr.ndim - 2)),
-                axis=0,
-            )[0]
-
-        Xn, Un = pick(Xs), pick(Us)
-        new_cost = jnp.take_along_axis(costs, idx[None], axis=0)[0]
-        new_merit = jnp.take_along_axis(merits, idx[None], axis=0)[0]
-
         active = ~state.converged
+
+        # fast path: at warm steady state every active member accepts the
+        # full step — try α₀ alone first and only fan out over the
+        # backtracking α candidates if someone rejects it (lax.cond
+        # executes exactly one branch at runtime)
+        X1, U1, cost1, merit1, ok1 = trial(alphas[0])
+        all_accept = jnp.all(ok1 | ~active)
+
+        def no_fan(_):
+            return X1, U1, cost1, merit1, ok1
+
+        def fan(_):
+            Xs, Us, costs, merits, oks = jax.vmap(trial)(alphas)  # (K, B, ..)
+            idx = jnp.argmax(oks, axis=0)                         # (B,)
+
+            def pick(arr):  # (K, B, ...) -> (B, ...)
+                return jnp.take_along_axis(
+                    arr,
+                    idx.reshape((1,) + idx.shape + (1,) * (arr.ndim - 2)),
+                    axis=0,
+                )[0]
+
+            return (
+                pick(Xs), pick(Us),
+                jnp.take_along_axis(costs, idx[None], axis=0)[0],
+                jnp.take_along_axis(merits, idx[None], axis=0)[0],
+                jnp.any(oks, axis=0),
+            )
+
+        Xn, Un, new_cost, new_merit, accepted = jax.lax.cond(
+            all_accept, no_fan, fan, None
+        )
+
         upd = accepted & active
         merit_red = merit0 - new_merit
         conv_now = (~accepted) | (
