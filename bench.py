@@ -24,7 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def main(batch: int = 1024, n_ticks: int = 10, ns: int = 20,
+def main(batch: int = 4096, n_ticks: int = 10, ns: int = 20,
          max_iters: int = 5) -> None:
     from srbd_horizon_tpu.config import DDPOptions, SRBDConfig
     from srbd_horizon_tpu.models.kangaroo import kangaroo_line_feet
@@ -106,5 +106,5 @@ def main(batch: int = 1024, n_ticks: int = 10, ns: int = 20,
 
 
 if __name__ == "__main__":
-    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 4096
     main(batch=batch)
