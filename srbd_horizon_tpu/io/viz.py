@@ -9,7 +9,7 @@ series (/solution_time)."""
 from __future__ import annotations
 
 import pathlib
-from typing import Dict, Optional, Sequence
+from typing import Dict, Optional
 
 import numpy as np
 

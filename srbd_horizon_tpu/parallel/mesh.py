@@ -21,7 +21,7 @@ mesh spans all processes' devices and `shard_map` handles DCN boundaries.
 from __future__ import annotations
 
 from functools import partial
-from typing import Dict, Optional
+from typing import Dict
 
 import jax
 import jax.numpy as jnp
