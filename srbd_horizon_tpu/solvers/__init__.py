@@ -1,1 +1,2 @@
+from srbd_horizon_tpu.solvers.alddp import ALDDP, ALOptions, ALState  # noqa: F401
 from srbd_horizon_tpu.solvers.msddp import MSDDP, DDPSolution  # noqa: F401
