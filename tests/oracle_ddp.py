@@ -123,11 +123,12 @@ def _fd_jac(f, x, eps=FD_EPS):
     return J
 
 
-def solve_ilqr(prob: LIPOracleProblem, x0, iters=60, mu=1e-6):
+def solve_ilqr(prob, x0, iters=80, mu=1e-6, U0=None):
     """Plain single-shooting iLQR with GN quadratics and Armijo
-    backtracking — independent implementation of the MS-DDP capability."""
+    backtracking — independent implementation of the MS-DDP capability.
+    U0 optionally seeds the input trajectory (static-input warm start)."""
     ns, nx, nu = prob.ns, prob.nx, prob.nu
-    U = np.zeros((ns, nu))
+    U = np.zeros((ns, nu)) if U0 is None else np.tile(np.asarray(U0, float), (ns, 1))
 
     def rollout(U):
         X = [x0]
@@ -192,7 +193,7 @@ def solve_ilqr(prob: LIPOracleProblem, x0, iters=60, mu=1e-6):
                 Xn.append(prob.step(Xn[n], Un[n]))
             Xn = np.asarray(Xn)
             cn = total_cost(Xn, Un)
-            if cn < cost - 1e-10 * max(cost, 1.0):
+            if cn < cost - 1e-12 * max(cost, 1.0):
                 X, U, cost = Xn, Un, cn
                 improved = True
                 break
@@ -200,3 +201,144 @@ def solve_ilqr(prob: LIPOracleProblem, x0, iters=60, mu=1e-6):
         if not improved:
             break
     return X, U, cost
+
+
+class SRBDOracleProblem:
+    """The reference SRBD OCP (prb.py:16-246) in plain NumPy, nc=4 —
+    quaternion base orientation, per-contact forces (kN after the
+    force_scaling=1000 of prb.py:98-99), Newton–Euler dynamics."""
+
+    def __init__(self, m, inertia, com, feet, ns=20, dt=0.05):
+        self.m = float(m)
+        self.I = np.asarray(inertia, float)
+        self.com = np.asarray(com, float)
+        self.feet = np.asarray(feet, float)
+        self.ns, self.dt = ns, dt
+        self.fs = 1000.0
+        self.nx, self.nu = 37, 24
+        self.w_r = np.sqrt(1e3)
+        self.w_rdot = np.sqrt(1e4)
+        self.w_w = np.sqrt(1e4)
+        self.w_rel = np.sqrt(1e4)
+        self.w_qddot = 1.0
+        self.w_minf = self.fs * np.sqrt(1e-2)
+        self.w_fsw = self.fs * np.sqrt(1e2)
+        self.otg = 1e1          # orientation_tracking_gain default (prb.py:144)
+        self.penalty = 1e6
+        self.d1 = self.feet[2, :2] - self.feet[0, :2]
+        self.d2 = self.feet[3, :2] - self.feet[1, :2]
+        self.rdot_ref = np.zeros((ns + 1, 3))
+        self.w_ref = np.zeros((ns + 1, 3))
+        self.oref = np.tile([0.0, 0.0, 0.0, 1.0], (ns + 1, 1))  # inverse of identity
+        self.c_ref = np.tile(self.feet[:, 2], (ns + 1, 1))
+        self.cdot_switch = np.ones((ns + 1, 4))
+
+    @staticmethod
+    def _quat_to_rot(q):
+        from oracles import quat_to_rot_np
+        return quat_to_rot_np(q)
+
+    @staticmethod
+    def _quat_prod(p, q):
+        from oracles import quat_product_np
+        return quat_product_np(p, q)
+
+    def _accels(self, x, u):
+        o = x[3:7]
+        r = x[0:3]
+        c = x[7:19].reshape(4, 3)
+        w = x[22:25]
+        ui = u.reshape(4, 6)
+        f = ui[:, 3:6]
+        R = self._quat_to_rot(o)
+        Iw = R @ (self.I / self.fs) @ R.T
+        ms = self.m / self.fs
+        g = np.array([0.0, 0.0, -G])
+        rddot = f.sum(axis=0) / ms + g
+        tau = np.cross(c - r, f).sum(axis=0)
+        wdot = np.linalg.solve(Iw, tau - np.cross(w, Iw @ w))
+        return rddot, wdot
+
+    def xdot(self, x, u):
+        o = x[3:7]
+        rdot = x[19:22]
+        w = x[22:25]
+        cdot = x[25:37]
+        ui = u.reshape(4, 6)
+        cddot = ui[:, 0:3]
+        rddot, wdot = self._accels(x, u)
+        wq = np.array([w[0], w[1], w[2], 0.0])
+        odot = 0.5 * self._quat_prod(wq, o)
+        return np.concatenate([rdot, odot, cdot, rddot, wdot,
+                               cddot.reshape(-1)])
+
+    def step(self, x, u):
+        return x + self.dt * self.xdot(x, u)
+
+    def residuals(self, x, u, n):
+        r = x[0:3]
+        o = x[3:7]
+        c = x[7:19].reshape(4, 3)
+        rdot = x[19:22]
+        w = x[22:25]
+        cdot = x[25:37].reshape(4, 3)
+        ui = u.reshape(4, 6)
+        cddot = ui[:, 0:3]
+        f = ui[:, 3:6]
+        mt = 1.0 if n >= 1 else 0.0
+        qerr = self._quat_prod(o, self.oref[n])
+        rddot, wdot = self._accels(x, u)
+        res = [
+            mt * self.w_r * (r[2] - self.com[2]),
+            *(mt * self.otg * qerr[:3]),
+            mt * self.otg * (qerr[3] - 1.0),
+            *(mt * self.w_rdot * (rdot - self.rdot_ref[n])),
+            *(mt * self.w_w * (w - self.w_ref[n])),
+            mt * self.w_rel * (-c[0, 1] + c[2, 1] - self.d1[1]),
+            mt * self.w_rel * (-c[0, 0] + c[2, 0] - self.d1[0]),
+            mt * self.w_rel * (-c[1, 1] + c[3, 1] - self.d2[1]),
+            mt * self.w_rel * (-c[1, 0] + c[3, 0] - self.d2[0]),
+            *(self.w_qddot * rddot),
+            *(self.w_qddot * wdot),
+            *(self.w_qddot * cddot.reshape(-1)),
+            *(self.w_minf * f.reshape(-1)),
+            *((self.w_fsw * (1.0 - self.cdot_switch[n])[:, None] * f).reshape(-1)),
+        ]
+        sp = np.sqrt(self.penalty)
+        res += [sp * (cdot[0, 0] - cdot[1, 0]), sp * (cdot[0, 1] - cdot[1, 1])]
+        res += [sp * (cdot[2, 0] - cdot[3, 0]), sp * (cdot[2, 1] - cdot[3, 1])]
+        for i in range(4):
+            res.append(sp * (c[i, 2] - self.c_ref[n, i]))
+        for i in range(4):
+            res.append(sp * self.cdot_switch[n, i] * cdot[i, 0])
+            res.append(sp * self.cdot_switch[n, i] * cdot[i, 1])
+        return np.asarray(res)
+
+    def terminal_residuals(self, x):
+        n = self.ns
+        r = x[0:3]
+        o = x[3:7]
+        c = x[7:19].reshape(4, 3)
+        rdot = x[19:22]
+        w = x[22:25]
+        qerr = self._quat_prod(o, self.oref[n])
+        return np.asarray([
+            self.w_r * (r[2] - self.com[2]),
+            *(self.otg * qerr[:3]),
+            self.otg * (qerr[3] - 1.0),
+            *(self.w_rdot * (rdot - self.rdot_ref[n])),
+            *(self.w_w * (w - self.w_ref[n])),
+            self.w_rel * (-c[0, 1] + c[2, 1] - self.d1[1]),
+            self.w_rel * (-c[0, 0] + c[2, 0] - self.d1[0]),
+            self.w_rel * (-c[1, 1] + c[3, 1] - self.d2[1]),
+            self.w_rel * (-c[1, 0] + c[3, 0] - self.d2[0]),
+        ])
+
+    def initial_state(self):
+        return np.concatenate([
+            self.com, [0, 0, 0, 1], self.feet.reshape(-1), np.zeros(18),
+        ])
+
+    def static_input(self):
+        per = np.array([0, 0, 0, 0, 0, self.m * G / self.fs / 4])
+        return np.tile(per, 4)

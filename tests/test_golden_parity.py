@@ -49,3 +49,38 @@ class TestGoldenParity:
         np.testing.assert_allclose(np.asarray(sol.X), Xo, atol=1e-4)
         np.testing.assert_allclose(np.asarray(sol.U), Uo, atol=1e-4)
         np.testing.assert_allclose(float(sol.cost), cost_o, rtol=1e-6, atol=1e-9)
+
+
+class TestGoldenParitySRBD:
+    def test_srbd_standing(self):
+        """SRBD golden parity: same problem, independent NumPy iLQR with
+        finite-difference Jacobians (quaternions, forces, Newton–Euler)."""
+        from oracle_ddp import SRBDOracleProblem, solve_ilqr
+        from srbd_horizon_tpu.problems.srbd import build_srbd_problem
+
+        robot = kangaroo_line_feet()
+        cfg = SRBDConfig(dtype=jnp.float64)
+        prob = build_srbd_problem(cfg, robot)
+        solver = MSDDP(
+            prob.ocp,
+            DDPOptions(
+                max_iters=80, alpha_converge_threshold=1e-12, beta=1e-3,
+                cost_reduction_ths=1e-14,
+            ),
+        )
+        x0 = prob.initial_state
+        ns = cfg.ns
+        U0 = jnp.tile(prob.static_input[None], (ns, 1))
+        sol = solver.solve(solver.init(x0, U0=U0), x0, prob.ocp.params)
+
+        oracle = SRBDOracleProblem(
+            robot.mass, robot.inertia, robot.com, robot.foot_positions
+        )
+        # same warm start as the JAX solve for a fair comparison
+        Xo, Uo, cost_o = solve_ilqr(
+            oracle, oracle.initial_state(), U0=oracle.static_input()
+        )
+        np.testing.assert_allclose(np.asarray(sol.X), Xo, atol=2e-4)
+        np.testing.assert_allclose(np.asarray(sol.U), Uo, atol=2e-4)
+        np.testing.assert_allclose(float(sol.cost), cost_o, rtol=1e-5,
+                                   atol=1e-9)
