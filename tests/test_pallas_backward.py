@@ -56,11 +56,11 @@ class TestPallasBackward:
         as the default path."""
         cfg = SRBDConfig(dtype=jnp.float64)
         prob = build_srbd_problem(cfg, kangaroo_line_feet())
-        base = MSDDP(prob.ocp, DDPOptions(max_iters=6))
+        base = MSDDP(prob.ocp, DDPOptions(max_iters=3))
         pall = MSDDP(
             prob.ocp,
             DDPOptions(
-                max_iters=6, riccati_mode="pallas",
+                max_iters=3, riccati_mode="pallas",
                 pallas_block_batch=4, pallas_interpret=True,
             ),
         )
