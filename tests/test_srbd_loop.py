@@ -90,3 +90,40 @@ class TestClosedLoopSRBD:
         quats = X[:, 3:7]
         assert np.all(np.abs(quats[:, :3]) < 0.2)
         assert float(np.max(out.defect_norm)) < 1e-4
+
+
+class TestSRBDJump:
+    def test_jump_releases_forces(self):
+        """'jumping' motion (dsrbd_example.py:92,128-129): cdot_switch→0
+        activates the force-off cost (prb.py:203-204) — during the jump
+        window planned contact forces collapse toward zero and the loop
+        stays finite through landing."""
+        prob, loop = _make_loop()
+        carry = loop.init(prob.initial_state)
+        T = 20
+        from srbd_horizon_tpu.runtime.loop import TickInput
+        # 8 stance ticks, then a 12-tick jump burst: the jump writes enter
+        # at the terminal node and migrate one node per tick, so after the
+        # burst the PLAN's last 12 nodes carry cdot_switch=0
+        actions = jnp.concatenate([
+            jnp.zeros(8, jnp.int32),
+            jnp.full((12,), 2, jnp.int32),
+        ])
+        sched = TickInput(
+            action=actions,
+            rdot_ref=jnp.zeros((T, 3), jnp.float64),
+            w_ref=jnp.zeros((T, 3), jnp.float64),
+        )
+        carry, out = jax.jit(loop.run)(carry, sched)
+        assert bool(jnp.all(jnp.isfinite(out.x)))
+        # plan inputs: [cddot_i(3), f_i(3)] interleaved; vertical forces 5::6
+        U = np.asarray(carry.sol.U)
+        fz = U[:, 5::6].sum(axis=1)          # total planned vertical force/node
+        weight = prob.mass * 9.81 / prob.force_scaling
+        # horizon head (still stance-scheduled): carries the weight
+        assert fz[0] > 0.5 * weight, fz[:5]
+        # horizon tail (jump-scheduled): forces released toward zero
+        assert fz[-1] < 0.2 * weight, fz[-5:]
+        # switches confirm the schedule migrated as expected
+        sw = np.asarray(carry.params["cdot_switch"])
+        assert sw[-1].max() == 0.0 and sw[0].min() == 1.0
