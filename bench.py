@@ -1,13 +1,21 @@
-"""Benchmark: batched SRBD MPC throughput on the available accelerator.
+"""Benchmark: batched SRBD MPC throughput + real-time latency on the
+available accelerator.
 
 Prints ONE JSON line:
   {"metric": "srbd_mpc_solves_per_s", "value": N, "unit": "solve/s",
-   "vs_baseline": N / 10.0, ...}
+   "vs_baseline": N / 10.0,
+   "p50_ms": ..., "p99_ms": ..., "realtime_batch": 256, "realtime_ok": ...,
+   "throughput": {...}, ...}
 
 Baseline semantics: the reference publishes no numbers (BASELINE.md); its
 only implicit performance fact is the 10 Hz real-time replanning budget of a
 single serial solver instance (dsrbd_example.py:48) ⇒ baseline = 10 solves/s.
 `vs_baseline` is therefore (batched solves/s) / 10.
+
+Two operating points, both measured (BASELINE.md target table):
+  - THROUGHPUT (headline `value`): B=4096, maximize solves/s.
+  - LATENCY: B=256, per-tick p50/p99 vs the 100 ms replanning budget
+    (dsrbd_example.py:48: hz=10); `realtime_ok` gates on the p99.
 
 The measured unit of work is one full warm-started MPC tick of the
 dsrbd_example.py loop (reference-shift + WPG advance + MS-DDP solve with the
@@ -24,8 +32,8 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def main(batch: int = 4096, n_ticks: int = 10, ns: int = 20,
-         max_iters: int = 5) -> None:
+def _measure(batch: int, n_ticks: int, ns: int, max_iters: int):
+    """Run one operating point; returns per-tick wall times + health stats."""
     from srbd_horizon_tpu.config import DDPOptions, SRBDConfig
     from srbd_horizon_tpu.models.kangaroo import kangaroo_line_feet
     from srbd_horizon_tpu.problems.srbd import build_srbd_problem
@@ -77,31 +85,53 @@ def main(batch: int = 4096, n_ticks: int = 10, ns: int = 20,
         carries, out = vtick(carries, make_inp(t))
         jax.block_until_ready(out)
         times.append(time.perf_counter() - t0)
-    elapsed = sum(times)
 
-    ticks_per_s = n_ticks / elapsed
-    solves_per_s = ticks_per_s * B
     finite = bool(np.all(np.isfinite(np.asarray(out.x))))
     max_defect = float(np.max(np.asarray(out.defect_norm)))
     iters_mean = float(np.mean(np.asarray(out.iterations)))
+    return np.asarray(times), finite, max_defect, iters_mean
+
+
+def main(batch: int = 4096, n_ticks: int = 10, ns: int = 20,
+         max_iters: int = 5, realtime_batch: int = 256) -> None:
+    # LATENCY operating point: B=256, per-tick p50/p99 vs the 100 ms budget
+    lat_times, lat_finite, lat_defect, lat_iters = _measure(
+        realtime_batch, max(30, n_ticks), ns, max_iters
+    )
+    p50_ms = float(np.percentile(lat_times, 50) * 1e3)
+    p99_ms = float(np.percentile(lat_times, 99) * 1e3)
+
+    # THROUGHPUT operating point: the headline number
+    thr_times, finite, max_defect, iters_mean = _measure(
+        batch, n_ticks, ns, max_iters
+    )
+    elapsed = float(np.sum(thr_times))
+    ticks_per_s = len(thr_times) / elapsed
+    solves_per_s = ticks_per_s * batch
 
     result = {
         "metric": "srbd_mpc_solves_per_s",
         "value": round(solves_per_s, 1),
         "unit": "solve/s",
         "vs_baseline": round(solves_per_s / 10.0, 1),
-        "batch": B,
+        "batch": batch,
         "ns": ns,
         "max_iters": max_iters,
         "tick_latency_ms": round(1e3 / ticks_per_s, 2),
-        "realtime_ok": bool(1e3 / ticks_per_s <= 100.0),
-        "finite": finite,
-        "max_defect": max_defect,
+        "finite": finite and lat_finite,
+        "max_defect": max(max_defect, lat_defect),
         "solver_iters_mean": round(iters_mean, 2),
+        # real-time operating point (BASELINE.md: p50 within the 100 ms
+        # budget; we gate realtime_ok on the stricter p99)
+        "realtime_batch": realtime_batch,
+        "p50_ms": round(p50_ms, 2),
+        "p99_ms": round(p99_ms, 2),
+        "realtime_ok": bool(p99_ms <= 100.0),
+        "realtime_solves_per_s": round(realtime_batch * 1e3 / p50_ms, 1),
         "device": str(jax.devices()[0]),
     }
     # sanity: a warm MPC tick must actually iterate the solver
-    result["suspect"] = bool(iters_mean < 0.5 or not finite)
+    result["suspect"] = bool(iters_mean < 0.5 or not result["finite"])
     print(json.dumps(result))
 
 

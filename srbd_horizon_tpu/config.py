@@ -107,17 +107,20 @@ class DDPOptions:
     # line-search while_loop; 2^-40 < 1e-12 covers the reference threshold)
     max_line_search_steps: int = 40
     # Line-search execution strategy (TPU-specific; result-equivalent):
-    #   "parallel":   evaluate all K=max_line_search_steps candidate step
-    #                 sizes α₀·factorᵏ in ONE batched rollout and take the
-    #                 largest accepted — constant latency, no sequential
-    #                 backtracking loop, no batch stragglers.
+    #   "parallel":   evaluate K candidate step sizes α₀·factorᵏ per batched
+    #                 rollout fan; if every candidate rejects, deepen with
+    #                 further width-K fans (bounded while_loop) down to the
+    #                 α floor implied by max_line_search_steps — covering
+    #                 the reference's backtrack-to-1e-12 semantics
+    #                 (dsrbd_example.py:57) at constant warm-path latency.
     #   "sequential": classic backtracking while_loop (reference semantics
     #                 ddp.py:26-28 literally).
-    # Both accept the same α whenever sequential terminates within K trials.
+    # Both accept the same α whenever sequential terminates within
+    # max_line_search_steps trials.
     line_search_mode: str = "parallel"
-    # Number of simultaneous α candidates in parallel mode (α down to
-    # α₀·factor^(width-1); a step that would only be accepted below that is
-    # treated as line-search failure, i.e. convergence)
+    # Number of simultaneous α candidates per fan in parallel mode (the
+    # fan widens latency by ~width rollouts; deepening fans only run when
+    # every candidate of the previous fan was rejected)
     parallel_line_search_width: int = 4
     # Gain-equation solver for Quu (result-equivalent up to rounding):
     #   "schur":    recursive block-Schur SPD inverse — log-depth batched

@@ -1,10 +1,15 @@
-"""Trajectory visualization — the RViz-profile replacement (reference
-viz.py + launch/SRBD_horizon.rviz, SURVEY.md §2.1 C9/C12).
+"""Trajectory + force visualization — the RViz-profile replacement
+(reference viz.py + launch/SRBD_horizon.rviz, SURVEY.md §2.1 C9/C12).
 
 Renders closed-loop telemetry / plans to SVG (no display server needed) or
-matplotlib figures when available: CoM + contact trajectories (the
-LINE_STRIP markers), contact forces (the /fc* wrench displays), solve-time
-series (/solution_time)."""
+matplotlib figures when available:
+  - CoM + contact trajectories (the LINE_STRIP markers, viz.py:5-27)
+  - per-contact ground-reaction forces: time series + arrows anchored at
+    the contact points (the per-contact WrenchStamped publications on
+    /fc0../fc7, reference viz.py:29-37, provisioned as 8 wrench displays
+    in launch/SRBD_horizon.rviz:156-261)
+  - solve-time series (/solution_time) and shooting-defect series
+"""
 
 from __future__ import annotations
 
@@ -14,12 +19,54 @@ from typing import Dict, Optional
 import numpy as np
 
 
+def extract_contact_forces(
+    u0: np.ndarray, nc: int, input_kind: str = "srbd",
+    force_scaling: float = 1000.0,
+) -> Optional[np.ndarray]:
+    """(T, nu) applied inputs -> (T, nc, 3) contact forces in newtons.
+
+    SRBD input layout: (cddot_i(3), f_i(3)) interleaved (prb.py:66-68),
+    forces stored in scaled units (prb.py:98-99 divides m and I by
+    force_scaling, so the physical force is f·force_scaling).
+    ISRBD input layout: (rddot(3), wdot(3), then (cddot_i, f_i) per
+    contact), forces UNSCALED (isrbd_example.py:336-344).
+    LIP has no contact forces (ZMP input only) -> None (the reference
+    publishes placeholder constant forces there, dlip_example.py:149)."""
+    u0 = np.asarray(u0)
+    if input_kind == "srbd":
+        f = u0[:, : 6 * nc].reshape(u0.shape[0], nc, 6)[:, :, 3:6]
+        return f * force_scaling
+    if input_kind == "isrbd":
+        f = u0[:, 6 : 6 + 6 * nc].reshape(u0.shape[0], nc, 6)[:, :, 3:6]
+        return f
+    return None
+
+
 def _svg_polyline(pts, color, width=1.5, opacity=1.0):
     s = " ".join(f"{x:.2f},{y:.2f}" for x, y in pts)
     return (
         f'<polyline points="{s}" fill="none" stroke="{color}" '
         f'stroke-width="{width}" stroke-opacity="{opacity}"/>'
     )
+
+
+def _svg_arrow(x0, y0, x1, y1, color, width=1.2, opacity=0.9):
+    """Line segment with a small arrowhead at (x1, y1)."""
+    dx, dy = x1 - x0, y1 - y0
+    n = max((dx * dx + dy * dy) ** 0.5, 1e-9)
+    ux, uy = dx / n, dy / n
+    hx, hy = x1 - 4 * ux, y1 - 4 * uy
+    px, py = -uy, ux
+    head = (
+        f'<polygon points="{x1:.2f},{y1:.2f} {hx + 2 * px:.2f},'
+        f'{hy + 2 * py:.2f} {hx - 2 * px:.2f},{hy - 2 * py:.2f}" '
+        f'fill="{color}" fill-opacity="{opacity}"/>'
+    )
+    line = (
+        f'<line x1="{x0:.2f}" y1="{y0:.2f}" x2="{x1:.2f}" y2="{y1:.2f}" '
+        f'stroke="{color}" stroke-width="{width}" stroke-opacity="{opacity}"/>'
+    )
+    return line + head
 
 
 def _project(series, w, h, pad=40):
@@ -48,18 +95,31 @@ def render_walk_svg(
     state_kind: str = "lip",
     width: int = 900,
     height: int = 500,
+    force_scaling: float = 1000.0,
+    n_force_arrows: int = 16,
 ) -> None:
     """Top-down (x,y) and side (x,z) views of the CoM and contact
     trajectories from recorded closed-loop states (`telemetry['x']` of
-    shape (T, nx))."""
+    shape (T, nx)); when applied inputs (`telemetry['u0']`) are present
+    for a force-bearing model, adds per-contact force arrows on the views
+    and a vertical-force time-series panel (the /fc* wrench displays,
+    reference viz.py:29-37)."""
     X = np.asarray(telemetry["x"])
     r = X[:, 0:3]
     c_off = 3 if state_kind == "lip" else 7
     contacts = [X[:, c_off + 3 * i : c_off + 3 * i + 3] for i in range(nc)]
 
+    forces = None
+    if "u0" in telemetry and state_kind in ("srbd", "isrbd"):
+        forces = extract_contact_forces(
+            telemetry["u0"], nc, input_kind=state_kind,
+            force_scaling=force_scaling,
+        )
+    force_panel = height * 3 // 5 if forces is not None else 0
+
     parts = [
         f'<svg xmlns="http://www.w3.org/2000/svg" width="{width}" '
-        f'height="{height * 2}" style="background:#ffffff">'
+        f'height="{height * 2 + force_panel}" style="background:#ffffff">'
     ]
     for view, (a, b), label in (
         ("top", (0, 1), "top view (x, y)"),
@@ -81,7 +141,54 @@ def render_walk_svg(
                 _svg_polyline(pts, color, 2.5 if idx == 0 else 1.2,
                               1.0 if idx == 0 else 0.8)
             )
+        if forces is not None:
+            # force arrows anchored at the contact point, sampled along
+            # the episode; arrow length ∝ force component in this view
+            T = forces.shape[0]
+            f_max = max(float(np.abs(forces).max()), 1e-9)
+            arrow_px = 60.0  # pixels for the largest force
+            ticks = np.linspace(0, T - 1, min(n_force_arrows, T)).astype(int)
+            for i in range(nc):
+                color = PALETTE[i % len(PALETTE)]
+                xs, ys = proj(contacts[i][:, [a, b]])
+                for t in ticks:
+                    fa, fb = forces[t, i, a], forces[t, i, b]
+                    if abs(fa) + abs(fb) < 1e-6:
+                        continue
+                    x0p, y0p = xs[t], ys[t]
+                    parts.append(_svg_arrow(
+                        x0p, y0p,
+                        x0p + fa / f_max * arrow_px,
+                        y0p - fb / f_max * arrow_px,
+                        color,
+                    ))
         parts.append("</g>")
+
+    if forces is not None:
+        # vertical-force time series: force transfer through the gait
+        T = forces.shape[0]
+        fz_max = max(float(forces[:, :, 2].max()), 1e-9)
+        pw, ph, pad = width, force_panel, 30
+        parts.append(f'<g transform="translate(0,{height * 2})">')
+        parts.append(
+            f'<text x="10" y="16" font-family="sans-serif" font-size="14" '
+            f'fill="#333">contact normal forces fz [N] (max {fz_max:.0f})</text>'
+        )
+        for i in range(nc):
+            fz = forces[:, i, 2]
+            xs = pad + np.arange(T) * (pw - 2 * pad) / max(T - 1, 1)
+            ys = ph - pad - fz / fz_max * (ph - 2 * pad)
+            parts.append(_svg_polyline(
+                list(zip(xs, ys)), PALETTE[i % len(PALETTE)], 1.4
+            ))
+        # zero line
+        y0l = ph - pad
+        parts.append(
+            f'<line x1="{pad}" y1="{y0l:.1f}" x2="{pw - pad}" y2="{y0l:.1f}" '
+            f'stroke="#999" stroke-width="0.7" stroke-dasharray="4,3"/>'
+        )
+        parts.append("</g>")
+
     parts.append("</svg>")
     p = pathlib.Path(path)
     p.parent.mkdir(parents=True, exist_ok=True)
@@ -93,16 +200,24 @@ def render_matplotlib(
     out_path: Optional[str] = None,
     nc: int = 4,
     state_kind: str = "lip",
+    force_scaling: float = 1000.0,
 ):
     """Richer diagnostics when matplotlib is available: trajectories,
-    forces, solve times, defects."""
+    per-contact forces (series + top-view quiver), solve times, defects."""
     import matplotlib
 
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
     X = np.asarray(telemetry["x"])
-    fig, axes = plt.subplots(2, 2, figsize=(12, 8))
+    forces = None
+    if "u0" in telemetry and state_kind in ("srbd", "isrbd"):
+        forces = extract_contact_forces(
+            telemetry["u0"], nc, input_kind=state_kind,
+            force_scaling=force_scaling,
+        )
+    n_rows = 3 if forces is not None else 2
+    fig, axes = plt.subplots(n_rows, 2, figsize=(12, 4 * n_rows))
     r = X[:, 0:3]
     c_off = 3 if state_kind == "lip" else 7
     axes[0, 0].plot(r[:, 0], r[:, 1], "k-", lw=2, label="CoM")
@@ -121,6 +236,25 @@ def render_matplotlib(
     if "defect_norm" in telemetry:
         axes[1, 1].semilogy(np.maximum(np.asarray(telemetry["defect_norm"]), 1e-16))
         axes[1, 1].set_title("defect norm")
+    if forces is not None:
+        # per-contact vertical force: the gait's force transfer
+        for i in range(nc):
+            axes[2, 0].plot(forces[:, i, 2], lw=1.2, label=f"fz{i}")
+        axes[2, 0].axhline(0.0, color="#999", lw=0.7, ls="--")
+        axes[2, 0].set_title("contact normal forces fz [N] (/fc* role)")
+        axes[2, 0].legend(fontsize=7)
+        # top-view force quiver at sampled contact points
+        T = forces.shape[0]
+        ticks = np.linspace(0, T - 1, min(16, T)).astype(int)
+        for i in range(nc):
+            c = X[:, c_off + 3 * i : c_off + 3 * i + 3]
+            axes[2, 1].plot(c[:, 0], c[:, 1], lw=0.8)
+            axes[2, 1].quiver(
+                c[ticks, 0], c[ticks, 1],
+                forces[ticks, i, 0], forces[ticks, i, 1],
+                angles="xy", width=0.003,
+            )
+        axes[2, 1].set_title("tangential forces (top view)")
     fig.tight_layout()
     if out_path:
         fig.savefig(out_path, dpi=110)

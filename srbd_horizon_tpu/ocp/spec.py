@@ -24,6 +24,14 @@ Contract:
     (ddp.py:190-196); GN-SQP enforces them.
   - `stage_ineq(x, u, p)` returns g(x,u,p) with static bounds
     (ineq_lb, ineq_ub) — friction cones etc. (isrbd_example.py:312-318).
+  - `x_lb/x_ub` ((ns+1, nx)) and `u_lb/u_ub` ((ns, nu)) are node-indexed
+    variable box bounds, ±inf-defaulted — the reference's
+    `setBounds`/`setInitialGuess` surface (isrbd_example.py:188-221 node-0
+    pinning and force boxes, :425-431 online re-pinning, cdot bounds).
+    MS-DDP's structural x0 handling covers node-0 state pinning (the
+    rollout always starts at x0); the box-bound fields cover everything
+    else (force boxes, contact-velocity limits) and are enforced by the
+    AL solver (solvers/alddp.py) as one-sided augmented-Lagrangian terms.
   - `step(x, u, p, dt)` is the discrete dynamics for one node
     (ddp.py:228-230 Euler; RK2 for the NLP path prb.py:113).
 """
@@ -67,6 +75,13 @@ class OCP:
     ineq_lb: Optional[jnp.ndarray] = None
     ineq_ub: Optional[jnp.ndarray] = None
 
+    # node-indexed variable box bounds (isrbd_example.py:188-221,425-431):
+    # x bounds are (ns+1, nx), u bounds (ns, nu); None = unbounded.
+    x_lb: Optional[jnp.ndarray] = None
+    x_ub: Optional[jnp.ndarray] = None
+    u_lb: Optional[jnp.ndarray] = None
+    u_ub: Optional[jnp.ndarray] = None
+
     # template parameter pytree: dict name -> (ns+1, dim) array
     params: Dict[str, jnp.ndarray] = dataclasses.field(default_factory=dict)
 
@@ -99,6 +114,14 @@ class OCP:
         """L_N = ‖r_term‖² — ddp.py:216-226 (no constraint penalty)."""
         r = self.terminal_residual(x, p)
         return jnp.sum(r * r)
+
+
+def unbounded(nodes: int, dim: int, dtype=jnp.float32):
+    """(±inf) box-bound pair of shape (nodes, dim) — the ∞-default canvas
+    for `x_lb/x_ub`/`u_lb/u_ub`; set finite entries with `.at[...].set`."""
+    lb = jnp.full((nodes, dim), -jnp.inf, dtype)
+    ub = jnp.full((nodes, dim), jnp.inf, dtype)
+    return lb, ub
 
 
 def node_mask(ns: int, start: int, stop: int, dtype=jnp.float32) -> jnp.ndarray:

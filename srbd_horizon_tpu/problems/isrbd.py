@@ -41,6 +41,7 @@ from srbd_horizon_tpu.models.kangaroo import RobotConstants
 from srbd_horizon_tpu.ocp import integrators
 from srbd_horizon_tpu.ocp.layout import VarLayout
 from srbd_horizon_tpu.ocp.spec import OCP, node_mask
+from srbd_horizon_tpu.ocp.spec import unbounded as spec_unbounded
 from srbd_horizon_tpu.problems.srbd import linearized_friction_cone_rows
 
 
@@ -189,25 +190,37 @@ def build_isrbd_problem(
         res.append(p["mask_lipzone"][0] * s["w"])
         return jnp.concatenate(res)
 
-    # inequalities: friction cones (active!) + force box bounds
+    # inequalities: friction cones (active!, isrbd:316-318)
     A_fc = jnp.asarray(
         linearized_friction_cone_rows(cfg.friction_cone_coefficient), dtype
     )
-    fmax = cfg.max_contact_force
 
     def stage_ineq(x, u, p):
         del p
         _, i = split(x, u)
-        cones = (i["f"] @ A_fc.T).reshape(-1)   # ≤ 0 (isrbd:316-318)
-        fbox = i["f"].reshape(-1)               # ∈ [−fmax, fmax] (isrbd:200)
-        return jnp.concatenate([cones, fbox])
+        return (i["f"] @ A_fc.T).reshape(-1)    # ≤ 0 (isrbd:316-318)
 
-    ineq_ub = jnp.concatenate(
-        [jnp.zeros(nc * 5, dtype), jnp.full((nc * 3,), fmax, dtype)]
-    )
-    ineq_lb = jnp.concatenate(
-        [jnp.full((nc * 5,), -jnp.inf, dtype), jnp.full((nc * 3,), -fmax, dtype)]
-    )
+    ineq_ub = jnp.zeros(nc * 5, dtype)
+    ineq_lb = jnp.full((nc * 5,), -jnp.inf, dtype)
+
+    # variable box bounds (the reference's setBounds surface):
+    #   forces f_i ∈ [−max_contact_force, max_contact_force]
+    #     (isrbd_example.py:200) — a box on input slices
+    #   contact velocities cdot_i ∈ [−max_velocity, max_velocity]
+    #     (isrbd_example.py steps_phase max_velocity kwarg / global cdot
+    #     bounds) — a box on state slices
+    u_lb, u_ub = spec_unbounded(ns, input_layout.total, dtype)
+    fmax = cfg.max_contact_force
+    for i in range(nc):
+        sl = input_layout.slices[f"f{i}"]
+        u_lb = u_lb.at[:, sl].set(-fmax)
+        u_ub = u_ub.at[:, sl].set(fmax)
+    x_lb, x_ub = spec_unbounded(ns + 1, state_layout.total, dtype)
+    vmax = cfg.max_contact_velocity
+    for i in range(nc):
+        sl = state_layout.slices[f"cdot{i}"]
+        x_lb = x_lb.at[:, sl].set(-vmax)
+        x_ub = x_ub.at[:, sl].set(vmax)
 
     def xdot(x, u, p):
         """double_integrator_with_floating_base with input accelerations
@@ -248,6 +261,10 @@ def build_isrbd_problem(
         stage_ineq=stage_ineq,
         ineq_lb=ineq_lb,
         ineq_ub=ineq_ub,
+        x_lb=x_lb,
+        x_ub=x_ub,
+        u_lb=u_lb,
+        u_ub=u_ub,
         params=params,
         constants=dict(com=com, feet0=feet0, m=m, inertia=inertia),
     )

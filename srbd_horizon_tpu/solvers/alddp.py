@@ -19,10 +19,19 @@ Gauss-Newton quadratization applies:
     eq:   √ρ·h + λ/√ρ        (‖·‖² = ρ‖h‖² + 2λᵀh + const)
     ineq: √ρ·max(0, g-ub + μ/ρ)   (one-sided; same for lb)
 
+Variable box bounds (`ocp.x_lb/x_ub/u_lb/u_ub` — the reference's
+`setBounds` surface, isrbd_example.py:188-221 force boxes / cdot limits,
+:425-431 online state pinning) are handled as the special case g(x,u)=x
+(resp. u) of the inequality path: per-node one-sided AL residuals with
+their own multiplier arrays, no Jacobian cost beyond the identity rows.
+Node-indexed bound values flow through the parameter pytree (keys
+`al_x_lb` etc.), so they can be re-pinned per tick without recompilation.
+
 Capability parity: this solves exactly the problem class of the isrbd path
 — hard equality constraints (contact height, hybrid SRBD/LIP dynamics,
-LIP-zone), active inequality constraints (friction cones, force boxes) —
-to feasibility tolerances set by `ALOptions`, warm-startable per MPC tick
+LIP-zone), active inequality constraints (friction cones), variable bounds
+(force boxes ±max_contact_force, contact-velocity boxes) — to feasibility
+tolerances set by `ALOptions`, warm-startable per MPC tick
 (mat_storer.setInitialGuess analog, isrbd_example.py:423). A "gnsqp online"
 analog is one outer iteration with frozen multipliers
 (isrbd_example.py:403 max_iterations=1).
@@ -57,8 +66,30 @@ class ALState(NamedTuple):
     lam_eq_T: jnp.ndarray    # (n_eq_T,) terminal equality multipliers
     mu_ub: jnp.ndarray       # (ns, n_ineq) upper-bound multipliers (≥0)
     mu_lb: jnp.ndarray       # (ns, n_ineq) lower-bound multipliers (≥0)
+    mu_x_ub: jnp.ndarray     # (ns+1, nx) state upper-box multipliers (≥0)
+    mu_x_lb: jnp.ndarray     # (ns+1, nx) state lower-box multipliers (≥0)
+    mu_u_ub: jnp.ndarray     # (ns, nu) input upper-box multipliers (≥0)
+    mu_u_lb: jnp.ndarray     # (ns, nu) input lower-box multipliers (≥0)
     rho: jnp.ndarray         # scalar penalty
     viol: jnp.ndarray        # last max constraint violation
+
+
+def _one_sided(v, lb, ub, mu_lb, mu_ub, rho, sr):
+    """AL residual pair for lb ≤ v ≤ ub with ±inf entries masked out."""
+    ub_f = jnp.where(jnp.isfinite(ub), ub, 0.0)
+    lb_f = jnp.where(jnp.isfinite(lb), lb, 0.0)
+    ub_m = jnp.isfinite(ub).astype(v.dtype)
+    lb_m = jnp.isfinite(lb).astype(v.dtype)
+    t_ub = sr * ub_m * jnp.maximum(0.0, v - ub_f + mu_ub / rho)
+    t_lb = sr * lb_m * jnp.maximum(0.0, lb_f - v + mu_lb / rho)
+    return t_ub, t_lb
+
+
+def _bound_violation(v, lb, ub):
+    """Elementwise constraint violation of lb ≤ v ≤ ub (0 where satisfied)."""
+    over = jnp.where(jnp.isfinite(ub), jnp.maximum(0.0, v - ub), 0.0)
+    under = jnp.where(jnp.isfinite(lb), jnp.maximum(0.0, lb - v), 0.0)
+    return jnp.maximum(over, under)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -72,31 +103,66 @@ class ALDDP:
         # multipliers/penalty delivered through the parameter pytree (the
         # same compile-once/mutate-params channel as everything else).
         outer = self.ocp
+        has_xb = outer.x_lb is not None or outer.x_ub is not None
+        has_ub = outer.u_lb is not None or outer.u_ub is not None
+        object.__setattr__(self, "_has_xb", has_xb)
+        object.__setattr__(self, "_has_ub", has_ub)
+
+        # normalized (∞-defaulted) bound arrays
+        def _norm(b, shape, sign):
+            if b is not None:
+                return jnp.asarray(b)
+            return jnp.full(shape, sign * jnp.inf)
+
+        x_lb = _norm(outer.x_lb, (outer.ns + 1, outer.nx), -1)
+        x_ub = _norm(outer.x_ub, (outer.ns + 1, outer.nx), +1)
+        u_lb = _norm(outer.u_lb, (outer.ns, outer.nu), -1)
+        u_ub = _norm(outer.u_ub, (outer.ns, outer.nu), +1)
+        object.__setattr__(self, "_x_lb", x_lb)
+        object.__setattr__(self, "_x_ub", x_ub)
+        object.__setattr__(self, "_u_lb", u_lb)
+        object.__setattr__(self, "_u_ub", u_ub)
 
         def stage_residual(x, u, p):
             r = outer.stage_residual(x, u, p)
             h = outer.stage_eq(x, u, p)
-            sr = jnp.sqrt(p["al_rho"][0])
+            rho = p["al_rho"][0]
+            sr = jnp.sqrt(rho)
             terms = [r, sr * h + p["al_lam_eq"] / sr]
             if outer.ineq_ub is not None:
                 g = outer.stage_ineq(x, u, p)
-                ub = jnp.where(jnp.isfinite(outer.ineq_ub), outer.ineq_ub, 0.0)
-                lb = jnp.where(jnp.isfinite(outer.ineq_lb), outer.ineq_lb, 0.0)
-                ub_mask = jnp.isfinite(outer.ineq_ub).astype(x.dtype)
-                lb_mask = jnp.isfinite(outer.ineq_lb).astype(x.dtype)
-                terms.append(
-                    sr * ub_mask * jnp.maximum(0.0, g - ub + p["al_mu_ub"] / p["al_rho"][0])
+                t_ub, t_lb = _one_sided(
+                    g, outer.ineq_lb, outer.ineq_ub,
+                    p["al_mu_lb"], p["al_mu_ub"], rho, sr,
                 )
-                terms.append(
-                    sr * lb_mask * jnp.maximum(0.0, lb - g + p["al_mu_lb"] / p["al_rho"][0])
+                terms += [t_ub, t_lb]
+            if has_xb:
+                t_ub, t_lb = _one_sided(
+                    x, p["al_x_lb"], p["al_x_ub"],
+                    p["al_mu_x_lb"], p["al_mu_x_ub"], rho, sr,
                 )
+                terms += [t_ub, t_lb]
+            if has_ub:
+                t_ub, t_lb = _one_sided(
+                    u, p["al_u_lb"], p["al_u_ub"],
+                    p["al_mu_u_lb"], p["al_mu_u_ub"], rho, sr,
+                )
+                terms += [t_ub, t_lb]
             return jnp.concatenate(terms)
 
         def terminal_residual(x, p):
             r = outer.terminal_residual(x, p)
             hT = outer.terminal_eq(x, p)
-            sr = jnp.sqrt(p["al_rho"][0])
-            return jnp.concatenate([r, sr * hT + p["al_lam_eq_T"] / sr])
+            rho = p["al_rho"][0]
+            sr = jnp.sqrt(rho)
+            terms = [r, sr * hT + p["al_lam_eq_T"] / sr]
+            if has_xb:
+                t_ub, t_lb = _one_sided(
+                    x, p["al_x_lb"], p["al_x_ub"],
+                    p["al_mu_x_lb"], p["al_mu_x_ub"], rho, sr,
+                )
+                terms += [t_ub, t_lb]
+            return jnp.concatenate(terms)
 
         inner_ocp = dataclasses.replace(
             outer,
@@ -121,7 +187,7 @@ class ALDDP:
 
     def init(self, x0, U0=None) -> ALState:
         n_eq, n_eq_T, n_in = self._probe_sizes()
-        ns = self.ocp.ns
+        ns, nx, nu = self.ocp.ns, self.ocp.nx, self.ocp.nu
         dtype = x0.dtype
         return ALState(
             sol=self._inner.init(x0, U0),
@@ -129,11 +195,25 @@ class ALDDP:
             lam_eq_T=jnp.zeros((n_eq_T,), dtype),
             mu_ub=jnp.zeros((ns, n_in), dtype),
             mu_lb=jnp.zeros((ns, n_in), dtype),
+            mu_x_ub=jnp.zeros((ns + 1, nx), dtype),
+            mu_x_lb=jnp.zeros((ns + 1, nx), dtype),
+            mu_u_ub=jnp.zeros((ns, nu), dtype),
+            mu_u_lb=jnp.zeros((ns, nu), dtype),
             rho=jnp.asarray(self.al_opts.rho0, dtype),
             viol=jnp.asarray(jnp.inf, dtype),
         )
 
     # ---------- constraint evaluation at a trajectory ----------
+
+    def _bounds_from(self, params):
+        """Bound-value arrays for this solve: the params pytree can override
+        the static OCP bounds (online re-pinning, isrbd_example.py:425-431)."""
+        return (
+            params.get("x_lb", self._x_lb),
+            params.get("x_ub", self._x_ub),
+            params.get("u_lb", self._u_lb),
+            params.get("u_ub", self._u_ub),
+        )
 
     def _constraints(self, X, U, params):
         ocp = self.ocp
@@ -162,67 +242,130 @@ class ALDDP:
                 ),
             ),
         )
+        if self._has_xb or self._has_ub:
+            x_lb, x_ub, u_lb, u_ub = self._bounds_from(params)
+            bviol = jnp.maximum(
+                jnp.max(_bound_violation(X, x_lb, x_ub), initial=0.0),
+                jnp.max(_bound_violation(U, u_lb, u_ub), initial=0.0),
+            )
+            viol = jnp.maximum(viol, bviol)
         return h, hT, g, viol
 
     # ---------- solve ----------
 
     def _params_with_multipliers(
-        self, params, lam_eq, lam_eq_T, mu_ub, mu_lb, rho
+        self, params, st: ALState
     ) -> Dict[str, jnp.ndarray]:
         ns = self.ocp.ns
+        lam_eq = st.lam_eq
         p = dict(params)
         # stage rows 0..ns-1 hold stage multipliers; row ns is unused there
         p["al_lam_eq"] = jnp.concatenate(
             [lam_eq, jnp.zeros((1,) + lam_eq.shape[1:], lam_eq.dtype)]
         )
-        p["al_lam_eq_T"] = jnp.tile(lam_eq_T[None], (ns + 1, 1))
+        p["al_lam_eq_T"] = jnp.tile(st.lam_eq_T[None], (ns + 1, 1))
         p["al_mu_ub"] = jnp.concatenate(
-            [mu_ub, jnp.zeros((1,) + mu_ub.shape[1:], mu_ub.dtype)]
+            [st.mu_ub, jnp.zeros((1,) + st.mu_ub.shape[1:], st.mu_ub.dtype)]
         )
         p["al_mu_lb"] = jnp.concatenate(
-            [mu_lb, jnp.zeros((1,) + mu_lb.shape[1:], mu_lb.dtype)]
+            [st.mu_lb, jnp.zeros((1,) + st.mu_lb.shape[1:], st.mu_lb.dtype)]
         )
-        p["al_rho"] = jnp.full((ns + 1, 1), rho, lam_eq.dtype)
+        p["al_rho"] = jnp.full((ns + 1, 1), st.rho, lam_eq.dtype)
+        if self._has_xb:
+            x_lb, x_ub, _, _ = self._bounds_from(params)
+            p["al_x_lb"] = jnp.asarray(x_lb, lam_eq.dtype)
+            p["al_x_ub"] = jnp.asarray(x_ub, lam_eq.dtype)
+            p["al_mu_x_ub"] = st.mu_x_ub
+            p["al_mu_x_lb"] = st.mu_x_lb
+        if self._has_ub:
+            _, _, u_lb, u_ub = self._bounds_from(params)
+            pad = jnp.full((1, self.ocp.nu), jnp.inf, lam_eq.dtype)
+            p["al_u_lb"] = jnp.concatenate([jnp.asarray(u_lb, lam_eq.dtype), -pad])
+            p["al_u_ub"] = jnp.concatenate([jnp.asarray(u_ub, lam_eq.dtype), pad])
+            zrow = jnp.zeros((1, self.ocp.nu), lam_eq.dtype)
+            p["al_mu_u_ub"] = jnp.concatenate([st.mu_u_ub, zrow])
+            p["al_mu_u_lb"] = jnp.concatenate([st.mu_u_lb, zrow])
+        # bound values are delivered via al_* keys; drop any raw overrides so
+        # the inner solver's param pytree has a fixed structure
+        for k in ("x_lb", "x_ub", "u_lb", "u_ub"):
+            p.pop(k, None)
         return p
 
-    def _with_multipliers(self, params, st: ALState) -> Dict[str, jnp.ndarray]:
-        return self._params_with_multipliers(
-            params, st.lam_eq, st.lam_eq_T, st.mu_ub, st.mu_lb, st.rho
-        )
+    def _updated_multipliers(self, st: ALState, X, U, h, hT, g, params, rho):
+        """AL multiplier updates (rho may carry leading batch axes)."""
+        r2 = rho[..., None] if jnp.ndim(rho) else rho
+        r3 = r2[..., None] if jnp.ndim(rho) else rho
+        lam_eq = st.lam_eq + r3 * h
+        lam_eq_T = st.lam_eq_T + r2 * hT
+        if self.ocp.ineq_ub is not None:
+            ub = jnp.where(jnp.isfinite(self.ocp.ineq_ub), self.ocp.ineq_ub, 0.0)
+            lb = jnp.where(jnp.isfinite(self.ocp.ineq_lb), self.ocp.ineq_lb, 0.0)
+            ub_mask = jnp.isfinite(self.ocp.ineq_ub)
+            lb_mask = jnp.isfinite(self.ocp.ineq_lb)
+            mu_ub = jnp.where(
+                ub_mask, jnp.maximum(0.0, st.mu_ub + r3 * (g - ub)), 0.0
+            )
+            mu_lb = jnp.where(
+                lb_mask, jnp.maximum(0.0, st.mu_lb + r3 * (lb - g)), 0.0
+            )
+        else:
+            mu_ub, mu_lb = st.mu_ub, st.mu_lb
+        mu_x_ub, mu_x_lb = st.mu_x_ub, st.mu_x_lb
+        mu_u_ub, mu_u_lb = st.mu_u_ub, st.mu_u_lb
+        if self._has_xb or self._has_ub:
+            x_lb, x_ub, u_lb, u_ub = self._bounds_from(params)
+            if self._has_xb:
+                mu_x_ub = jnp.where(
+                    jnp.isfinite(x_ub),
+                    jnp.maximum(0.0, st.mu_x_ub + r3 * (X - jnp.where(
+                        jnp.isfinite(x_ub), x_ub, 0.0))),
+                    0.0,
+                )
+                mu_x_lb = jnp.where(
+                    jnp.isfinite(x_lb),
+                    jnp.maximum(0.0, st.mu_x_lb + r3 * (jnp.where(
+                        jnp.isfinite(x_lb), x_lb, 0.0) - X)),
+                    0.0,
+                )
+            if self._has_ub:
+                mu_u_ub = jnp.where(
+                    jnp.isfinite(u_ub),
+                    jnp.maximum(0.0, st.mu_u_ub + r3 * (U - jnp.where(
+                        jnp.isfinite(u_ub), u_ub, 0.0))),
+                    0.0,
+                )
+                mu_u_lb = jnp.where(
+                    jnp.isfinite(u_lb),
+                    jnp.maximum(0.0, st.mu_u_lb + r3 * (jnp.where(
+                        jnp.isfinite(u_lb), u_lb, 0.0) - U)),
+                    0.0,
+                )
+        return lam_eq, lam_eq_T, mu_ub, mu_lb, mu_x_ub, mu_x_lb, mu_u_ub, mu_u_lb
 
     def solve(self, st: ALState, x0, params) -> ALState:
         """Full AL solve: fixed outer-iteration scan (jittable, vmappable)."""
         opts = self.al_opts
 
         def outer(st: ALState, _):
-            p_in = self._with_multipliers(params, st)
+            p_in = self._params_with_multipliers(params, st)
             sol = self._inner.solve(st.sol, x0, p_in)
             h, hT, g, viol = self._constraints(sol.X, sol.U, params)
-            rho = st.rho
-            lam_eq = st.lam_eq + rho * h
-            lam_eq_T = st.lam_eq_T + rho * hT
-            if self.ocp.ineq_ub is not None:
-                ub = jnp.where(jnp.isfinite(self.ocp.ineq_ub), self.ocp.ineq_ub, 0.0)
-                lb = jnp.where(jnp.isfinite(self.ocp.ineq_lb), self.ocp.ineq_lb, 0.0)
-                ub_mask = jnp.isfinite(self.ocp.ineq_ub)
-                lb_mask = jnp.isfinite(self.ocp.ineq_lb)
-                mu_ub = jnp.where(
-                    ub_mask, jnp.maximum(0.0, st.mu_ub + rho * (g - ub)), 0.0
-                )
-                mu_lb = jnp.where(
-                    lb_mask, jnp.maximum(0.0, st.mu_lb + rho * (lb - g)), 0.0
-                )
-            else:
-                mu_ub, mu_lb = st.mu_ub, st.mu_lb
+            (lam_eq, lam_eq_T, mu_ub, mu_lb,
+             mu_x_ub, mu_x_lb, mu_u_ub, mu_u_lb) = self._updated_multipliers(
+                st, sol.X, sol.U, h, hT, g, params, st.rho
+            )
             grow = viol > opts.viol_decrease * st.viol
             rho_new = jnp.where(
                 grow & (viol > opts.tol),
-                jnp.minimum(rho * opts.rho_growth, opts.rho_max),
-                rho,
+                jnp.minimum(st.rho * opts.rho_growth, opts.rho_max),
+                st.rho,
             )
             return ALState(
                 sol=sol, lam_eq=lam_eq, lam_eq_T=lam_eq_T,
-                mu_ub=mu_ub, mu_lb=mu_lb, rho=rho_new, viol=viol,
+                mu_ub=mu_ub, mu_lb=mu_lb,
+                mu_x_ub=mu_x_ub, mu_x_lb=mu_x_lb,
+                mu_u_ub=mu_u_ub, mu_u_lb=mu_u_lb,
+                rho=rho_new, viol=viol,
             ), viol
 
         st_out, viols = jax.lax.scan(
@@ -238,28 +381,15 @@ class ALDDP:
 
         def outer(st: ALState, _):
             p_in = jax.vmap(
-                lambda p, l, lT, ub_, lb_, r: self._params_with_multipliers(
-                    p, l, lT, ub_, lb_, r
-                )
-            )(params, st.lam_eq, st.lam_eq_T, st.mu_ub, st.mu_lb, st.rho)
+                lambda p, s: self._params_with_multipliers(p, s),
+                in_axes=(0, 0),
+            )(params, st._replace(sol=st.sol))
             sol = self._inner.solve_batch(st.sol, x0, p_in)
             h, hT, g, viol = jax.vmap(self._constraints)(sol.X, sol.U, params)
-            rho = st.rho[..., None, None]
-            lam_eq = st.lam_eq + rho * h
-            lam_eq_T = st.lam_eq_T + st.rho[..., None] * hT
-            if self.ocp.ineq_ub is not None:
-                ub = jnp.where(jnp.isfinite(self.ocp.ineq_ub), self.ocp.ineq_ub, 0.0)
-                lb = jnp.where(jnp.isfinite(self.ocp.ineq_lb), self.ocp.ineq_lb, 0.0)
-                ub_mask = jnp.isfinite(self.ocp.ineq_ub)
-                lb_mask = jnp.isfinite(self.ocp.ineq_lb)
-                mu_ub = jnp.where(
-                    ub_mask, jnp.maximum(0.0, st.mu_ub + rho * (g - ub)), 0.0
-                )
-                mu_lb = jnp.where(
-                    lb_mask, jnp.maximum(0.0, st.mu_lb + rho * (lb - g)), 0.0
-                )
-            else:
-                mu_ub, mu_lb = st.mu_ub, st.mu_lb
+            (lam_eq, lam_eq_T, mu_ub, mu_lb,
+             mu_x_ub, mu_x_lb, mu_u_ub, mu_u_lb) = self._updated_multipliers(
+                st, sol.X, sol.U, h, hT, g, params, st.rho
+            )
             grow = viol > opts.viol_decrease * st.viol
             rho_new = jnp.where(
                 grow & (viol > opts.tol),
@@ -268,7 +398,10 @@ class ALDDP:
             )
             return ALState(
                 sol=sol, lam_eq=lam_eq, lam_eq_T=lam_eq_T,
-                mu_ub=mu_ub, mu_lb=mu_lb, rho=rho_new, viol=viol,
+                mu_ub=mu_ub, mu_lb=mu_lb,
+                mu_x_ub=mu_x_ub, mu_x_lb=mu_x_lb,
+                mu_u_ub=mu_u_ub, mu_u_lb=mu_u_lb,
+                rho=rho_new, viol=viol,
             ), viol
 
         st_out, _ = jax.lax.scan(outer, st, jnp.arange(opts.outer_iters))
@@ -277,7 +410,7 @@ class ALDDP:
     def solve_online(self, st: ALState, x0, params) -> ALState:
         """One outer iteration with frozen penalty — the warm-started online
         MPC variant (gnsqp max_iterations=1 analog, isrbd_example.py:403)."""
-        p_in = self._with_multipliers(params, st)
+        p_in = self._params_with_multipliers(params, st)
         sol = self._inner.solve(st.sol, x0, p_in)
         h, hT, g, viol = self._constraints(sol.X, sol.U, params)
         return st._replace(

@@ -375,22 +375,57 @@ class MSDDP:
             return X1, U1, cost1, merit1, ok1
 
         def fan(_):
-            Xs, Us, costs, merits, oks = jax.vmap(trial)(alphas)  # (K, B, ..)
-            idx = jnp.argmax(oks, axis=0)                         # (B,)
+            # chunked deepening: evaluate width-K fans of ever-smaller α
+            # until every active member has an accepted step or α has
+            # backtracked past the reference's 1e-12 floor
+            # (dsrbd_example.py:57, ddp.py:26-28) — a hard-push cold member
+            # takes a genuinely small accepted step instead of being
+            # silently declared converged by a truncated fan.
+            n_chunks = -(-opts.max_line_search_steps // K_ls)
 
-            def pick(arr):  # (K, B, ...) -> (B, ...)
-                return jnp.take_along_axis(
-                    arr,
-                    idx.reshape((1,) + idx.shape + (1,) * (arr.ndim - 2)),
-                    axis=0,
-                )[0]
+            def cond(s):
+                c, _, _, _, _, found = s
+                return (c < n_chunks) & jnp.any(active & ~found)
 
-            return (
-                pick(Xs), pick(Us),
-                jnp.take_along_axis(costs, idx[None], axis=0)[0],
-                jnp.take_along_axis(merits, idx[None], axis=0)[0],
-                jnp.any(oks, axis=0),
+            def body(s):
+                c, Xb, Ub, costb, meritb, found = s
+                al = alphas * (
+                    opts.line_search_decrease_factor
+                    ** (c * K_ls).astype(state.X.dtype)
+                )
+                Xs, Us, costs, merits, oks = jax.vmap(trial)(al)  # (K, B, ..)
+                idx = jnp.argmax(oks, axis=0)                     # (B,)
+
+                def pick(arr):  # (K, B, ...) -> (B, ...)
+                    return jnp.take_along_axis(
+                        arr,
+                        idx.reshape((1,) + idx.shape + (1,) * (arr.ndim - 2)),
+                        axis=0,
+                    )[0]
+
+                hit = jnp.any(oks, axis=0) & ~found               # (B,)
+
+                def sel(new, old):
+                    m = hit.reshape(hit.shape + (1,) * (new.ndim - 1))
+                    return jnp.where(m, new, old)
+
+                return (
+                    c + 1,
+                    sel(pick(Xs), Xb),
+                    sel(pick(Us), Ub),
+                    jnp.where(hit, jnp.take_along_axis(costs, idx[None], axis=0)[0], costb),
+                    jnp.where(hit, jnp.take_along_axis(merits, idx[None], axis=0)[0], meritb),
+                    found | hit,
+                )
+
+            init = (
+                jnp.asarray(0, jnp.int32), state.X, state.U,
+                state.cost, merit0, jnp.zeros_like(state.converged),
             )
+            _, Xb, Ub, costb, meritb, found = jax.lax.while_loop(
+                cond, body, init
+            )
+            return Xb, Ub, costb, meritb, found
 
         Xn, Un, new_cost, new_merit, accepted = jax.lax.cond(
             all_accept, no_fan, fan, None
@@ -692,13 +727,40 @@ class MSDDP:
             )
             return Xn, Un, new_cost, new_merit, ok
 
-        Xs, Us, costs, merits, oks = jax.vmap(trial)(alphas)
-        any_ok = jnp.any(oks)
-        # first accepted (largest α): argmax returns the first True
-        idx = jnp.argmax(oks)
-        return (
-            Xs[idx], Us[idx], costs[idx], merits[idx], any_ok
+        # chunked deepening (matches the batched path): width-K fans of
+        # ever-smaller α until acceptance or the 1e-12 reference floor
+        # (dsrbd_example.py:57) — constant latency on the warm path (one
+        # fan), unbounded-depth backtracking on the cold path.
+        n_chunks = -(-opts.max_line_search_steps // K)
+
+        def cond(s):
+            c, _, _, _, _, found = s
+            return (c < n_chunks) & ~found
+
+        def body(s):
+            c, Xb, Ub, costb, meritb, _ = s
+            al = alphas * (
+                opts.line_search_decrease_factor ** (c * K).astype(dtype)
+            )
+            Xs, Us, costs, merits, oks = jax.vmap(trial)(al)
+            any_ok = jnp.any(oks)
+            # first accepted (largest α): argmax returns the first True
+            idx = jnp.argmax(oks)
+            return (
+                c + 1,
+                jnp.where(any_ok, Xs[idx], Xb),
+                jnp.where(any_ok, Us[idx], Ub),
+                jnp.where(any_ok, costs[idx], costb),
+                jnp.where(any_ok, merits[idx], meritb),
+                any_ok,
+            )
+
+        init = (
+            jnp.asarray(0, jnp.int32), state.X, state.U,
+            state.cost, merit0, jnp.asarray(False),
         )
+        _, Xb, Ub, costb, meritb, found = jax.lax.while_loop(cond, body, init)
+        return Xb, Ub, costb, meritb, found
 
     def _iteration(self, state: _IterState, x0, params):
         opts = self.opts

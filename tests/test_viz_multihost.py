@@ -51,6 +51,29 @@ class TestViz:
             defect_norm=np.full(T, 1e-8),
         )
 
+    def _srbd_telemetry(self):
+        """SRBD-layout telemetry incl. applied inputs with a gait-like
+        force transfer (swing legs unloaded in alternation)."""
+        T, nc = 40, 4
+        t = np.linspace(0, 4, T)
+        X = np.zeros((T, 37))
+        X[:, 0] = 0.3 * t
+        X[:, 2] = 0.88
+        X[:, 6] = 1.0  # quat w
+        for i in range(nc):
+            X[:, 7 + 3 * i] = 0.3 * t + 0.05 * i
+            X[:, 7 + 3 * i + 2] = np.abs(np.sin(t * 3)) * 0.05
+        u0 = np.zeros((T, 6 * nc))
+        for i in range(nc):
+            # scaled units (force_scaling=1000): ~100 N modulated
+            u0[:, 6 * i + 5] = 0.1 * (0.5 + 0.5 * np.sin(t * 3 + i))
+            u0[:, 6 * i + 3] = 0.01 * np.cos(t * 3 + i)
+        return dict(
+            x=X, u0=u0,
+            solve_time_s=np.full(T, 0.01),
+            defect_norm=np.full(T, 1e-8),
+        )
+
     def test_svg(self, tmp_path):
         p = tmp_path / "walk.svg"
         render_walk_svg(str(p), self._telemetry())
@@ -58,10 +81,44 @@ class TestViz:
         assert content.startswith("<svg")
         assert content.count("polyline") >= 10  # CoM + 4 contacts × 2 views
 
+    def test_svg_forces(self, tmp_path):
+        """SRBD telemetry with u0 must render the /fc* role: force arrows
+        on the views + an fz time-series panel (reference viz.py:29-37)."""
+        p = tmp_path / "walk_srbd.svg"
+        render_walk_svg(str(p), self._srbd_telemetry(), state_kind="srbd")
+        content = p.read_text()
+        assert "contact normal forces" in content
+        assert content.count("<polygon") > 20  # arrowheads on both views
+        # fz series: 4 more polylines in the force panel
+        assert content.count("polyline") >= 14
+
     def test_matplotlib(self, tmp_path):
         p = tmp_path / "walk.png"
         render_matplotlib(self._telemetry(), str(p))
         assert p.exists() and p.stat().st_size > 1000
+
+    def test_matplotlib_forces(self, tmp_path):
+        p = tmp_path / "walk_srbd.png"
+        fig = render_matplotlib(
+            self._srbd_telemetry(), str(p), state_kind="srbd"
+        )
+        assert p.exists() and p.stat().st_size > 1000
+
+    def test_extract_contact_forces_layouts(self):
+        from srbd_horizon_tpu.io.viz import extract_contact_forces
+
+        tele = self._srbd_telemetry()
+        f = extract_contact_forces(tele["u0"], 4, "srbd")
+        assert f.shape == (40, 4, 3)
+        # scaled (0.1) × force_scaling (1000) = 100 N peak
+        assert 90.0 < f[:, :, 2].max() <= 100.5
+        # isrbd layout: 6 leading accel dims then (cddot, f) per contact
+        u_is = np.zeros((5, 6 + 24))
+        u_is[:, 6 + 3] = 7.0  # f0 x
+        fi = extract_contact_forces(u_is, 4, "isrbd")
+        assert fi.shape == (5, 4, 3)
+        assert np.allclose(fi[:, 0, 0], 7.0)
+        assert extract_contact_forces(u_is, 4, "lip") is None
 
 
 class TestJumpAction:
