@@ -33,6 +33,11 @@ def parse_args(name: str):
     ap.add_argument("--f64", action="store_true", help="run in float64")
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
     ap.add_argument(
+        "--chaos", action="store_true",
+        help="(fleet) inject a NaN state + 10 m/s push mid-episode to "
+        "exercise the HealthMonitor detect-and-reset path",
+    )
+    ap.add_argument(
         "--teleop-port", type=int, default=0,
         help="UDP port for live teleop commands (the reference's /joy "
         "topic role): JSON {vx, vy, action} on topic 'teleop' — see "

@@ -28,8 +28,9 @@ def main():
     from srbd_horizon_tpu.config import DDPOptions, SRBDConfig
     from srbd_horizon_tpu.models.kangaroo import kangaroo_line_feet
     from srbd_horizon_tpu.parallel.mesh import (
-        make_mesh, replicate_params, shard_batch, sharded_batched_tick,
+        make_mesh, replicate_params, shard_batch, sharded_monitored_tick,
     )
+    from srbd_horizon_tpu.runtime.health import HealthMonitor
     from srbd_horizon_tpu.parallel.multihost import ensure_initialized, fleet_info
     from srbd_horizon_tpu.problems.srbd import build_srbd_problem
     from srbd_horizon_tpu.runtime.loop import MPCLoop, TickInput
@@ -60,9 +61,25 @@ def main():
 
     carries = jax.vmap(loop.init)(x0)
     carries = shard_batch(mesh, carries)
-    tick = sharded_batched_tick(loop, mesh)
+    # failure detection + in-place recovery for the whole fleet (the
+    # reference never checks is_converged, ddp.py:106; here every tick is
+    # classified and divergent members are rebuilt from the safe stance)
+    monitor = HealthMonitor()
+    tick = sharded_monitored_tick(loop, monitor, mesh, prob.initial_state)
 
+    chaos_tick = args.ticks // 2 if args.chaos else -1
     for t in range(args.ticks):
+        if t == chaos_tick:
+            # chaos injection: corrupt member 3 with NaN state and shove
+            # member 5 sideways at 10 m/s — the monitor must detect and
+            # reset them while the rest of the fleet is untouched
+            x = carries.x
+            x = x.at[3].set(jnp.nan)
+            x = x.at[5, loop.ocp.state_layout.slices["rdot"]].add(
+                jnp.asarray([10.0, 0.0, 0.0], dtype)
+            )
+            carries = carries._replace(x=shard_batch(mesh, x))
+            print(f"t={t:3d}  chaos: NaN into member 3, 10 m/s push into member 5")
         action = jnp.full((B,), 1 if t >= args.walk_start else 0, jnp.int32)
         inp = TickInput(
             action=action,
@@ -72,11 +89,13 @@ def main():
             w_ref=jnp.zeros((B, 3), dtype),
         )
         carries, outs, metrics = tick(carries, inp)
-        if t % 10 == 0:
+        n_bad = int(metrics["n_unhealthy"])
+        if t % 10 == 0 or n_bad:
             print(
                 f"t={t:3d}  mean_cost={float(metrics['mean_cost']):10.2f}  "
                 f"max_defect={float(metrics['max_defect']):.2e}  "
-                f"max_srbd_residual={float(metrics['max_srbd_residual']):.3f}"
+                f"max_srbd_residual={float(metrics['max_srbd_residual']):.3f}  "
+                f"unhealthy={n_bad}"
             )
 
     X = np.asarray(carries.x)

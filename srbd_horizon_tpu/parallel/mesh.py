@@ -107,6 +107,42 @@ def sharded_batched_tick(loop, mesh: Mesh, axis: str = SCENARIO_AXIS):
     return jax.jit(_tick_shard)
 
 
+def sharded_monitored_tick(loop, monitor, mesh: Mesh, x_safe,
+                           axis: str = SCENARIO_AXIS):
+    """`sharded_batched_tick` + the HealthMonitor recovery path: each
+    shard classifies its members' tick telemetry and rebuilds unhealthy
+    ones from `x_safe` in place; the metrics gain a globally-psum'd
+    unhealthy-member count (runtime/health.py)."""
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis)),
+        out_specs=(P(axis), P(axis), P()),
+        check_vma=False,
+    )
+    def _tick_shard(carries, inps):
+        carries, outs, report = monitor.monitored_tick_batch(
+            loop, carries, inps, x_safe
+        )
+        n_total = jax.lax.psum(
+            jnp.asarray(outs.cost.shape[0], outs.cost.dtype), axis
+        )
+        metrics = dict(
+            mean_cost=jax.lax.psum(jnp.sum(outs.cost), axis) / n_total,
+            max_defect=jax.lax.pmax(jnp.max(outs.defect_norm), axis),
+            max_srbd_residual=jax.lax.pmax(
+                jnp.max(jnp.abs(outs.srbd_residual)), axis
+            ),
+            n_unhealthy=jax.lax.psum(
+                jnp.sum((~report.healthy).astype(jnp.int32)), axis
+            ),
+        )
+        return carries, outs, metrics
+
+    return jax.jit(_tick_shard)
+
+
 def replicate_params(params: Dict[str, jnp.ndarray], batch: int):
     """Tile a problem's parameter pytree along a new scenario axis."""
     return jax.tree.map(

@@ -64,3 +64,26 @@ def local_batch_slice(global_batch: int) -> slice:
     per = global_batch // jax.process_count()
     start = jax.process_index() * per
     return slice(start, start + per)
+
+
+def shard_global_batch(mesh, tree, axis: str = "scenario"):
+    """Build globally-sharded arrays from each process's local slice of a
+    batched pytree. Single-process: plain device_put (shard_batch
+    semantics). Multi-process: every process passes ITS slice (see
+    `local_batch_slice`) of the global batch and receives a global jax
+    Array whose addressable shards are local — the standard multi-host
+    data-loading idiom (each host feeds its own scenarios; no host ever
+    materializes the full fleet)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    sharding = NamedSharding(mesh, P(axis))
+    if jax.process_count() == 1:
+        return jax.tree.map(lambda a: jax.device_put(a, sharding), tree)
+    import numpy as np
+
+    return jax.tree.map(
+        lambda a: jax.make_array_from_process_local_data(
+            sharding, np.asarray(a)
+        ),
+        tree,
+    )

@@ -24,12 +24,18 @@ class HealthReport(NamedTuple):
     finite: jnp.ndarray         # states/inputs finite
     defect_ok: jnp.ndarray      # shooting gaps under threshold
     residual_ok: jnp.ndarray    # physics residual under threshold
+    cost_ok: jnp.ndarray        # solve cost under the explosion threshold
 
 
 @dataclasses.dataclass(frozen=True)
 class HealthMonitor:
     max_defect: float = 1e-2
     max_srbd_residual: float = 50.0   # N / N·m, scaled units
+    # cost-explosion threshold: a large disturbance (e.g. a 10 m/s shove)
+    # stays finite and defect-free under MS-DDP's exact defect contraction,
+    # but the tracking cost jumps ~1000× above the walking steady state
+    # (~1e4) — the production signal that a member needs a reset
+    max_cost: float = 1e6
 
     def check(self, out: TickOutput) -> HealthReport:
         finite = jnp.all(jnp.isfinite(out.x), axis=-1) & jnp.all(
@@ -40,12 +46,27 @@ class HealthMonitor:
             jnp.max(jnp.abs(out.srbd_residual), axis=-1)
             < self.max_srbd_residual
         )
+        cost_ok = out.cost < self.max_cost
         return HealthReport(
-            healthy=finite & defect_ok,
+            healthy=finite & defect_ok & cost_ok,
             finite=finite,
             defect_ok=defect_ok,
             residual_ok=residual_ok,
+            cost_ok=cost_ok,
         )
+
+    def monitored_tick_batch(self, loop, carry: LoopCarry, inp,
+                             x_safe: jnp.ndarray):
+        """One batched MPC tick with failure detection and in-place
+        recovery: tick → classify → rebuild unhealthy members from
+        `x_safe`. The production fleet hot path (the reference never
+        checks `is_converged`, ddp.py:106 — this closes that gap).
+        Healthy members' carries are bit-identical to a plain
+        `loop.tick_batch` (masked elementwise selects only)."""
+        carry, out = loop.tick_batch(carry, inp)
+        report = self.check(out)
+        carry = self.reset_where_unhealthy(carry, report, x_safe)
+        return carry, out, report
 
     def reset_where_unhealthy(
         self, carry: LoopCarry, report: HealthReport, x_safe: jnp.ndarray

@@ -374,6 +374,24 @@ class MSDDP:
         def no_fan(_):
             return X1, U1, cost1, merit1, ok1
 
+        # deepening is only WORTH it while the reduction the model can
+        # still deliver at the chunk's α is RESOLVABLE above the merit's
+        # floating-point noise floor (~32·eps·merit for the ~10³-term
+        # merit sum). A converged member predicts reductions below that
+        # floor — its line-search failure IS the stopping signal
+        # (ddp.py:26-28 semantics) and deep backtracking would burn
+        # max_line_search_steps rollouts per solve for nothing — measured
+        # 2.4× throughput loss at B=4096 without this gate. A genuinely
+        # stuck member (hard push: expected0 ~1e6) deepens as far as the
+        # noise floor allows (~18 halvings in f32), which is the regime
+        # the reference's backtrack-to-1e-12 exists for.
+        a0 = jnp.asarray(opts.alpha_0, state.X.dtype)
+        expected0 = -(a0 * dV1 + a0**2 * dV2) + (2.0 * a0 - a0**2) * nu_w * D
+        noise = jnp.maximum(
+            32.0 * jnp.finfo(state.X.dtype).eps * jnp.maximum(merit0, 1.0),
+            opts.cost_reduction_ths * jnp.maximum(merit0, 1.0),
+        )
+
         def fan(_):
             # chunked deepening: evaluate width-K fans of ever-smaller α
             # until every active member has an accepted step or α has
@@ -381,17 +399,32 @@ class MSDDP:
             # (dsrbd_example.py:57, ddp.py:26-28) — a hard-push cold member
             # takes a genuinely small accepted step instead of being
             # silently declared converged by a truncated fan.
+            # The already-computed α₀ trial seeds the loop, so a member
+            # that accepts the full step gets BIT-identical results on
+            # the fast path and the fan path (a faulty neighbor flipping
+            # the branch cannot perturb healthy members).
             n_chunks = -(-opts.max_line_search_steps // K_ls)
 
             def cond(s):
                 c, _, _, _, _, found = s
-                return (c < n_chunks) & jnp.any(active & ~found)
+                unfound = active & ~found
+                alpha_c = jnp.asarray(
+                    opts.line_search_decrease_factor, state.X.dtype
+                ) ** (c * K_ls).astype(state.X.dtype)
+                worth = expected0 * alpha_c > noise
+                return (
+                    (c < n_chunks)
+                    & jnp.any(unfound)
+                    & ((c == 0) | jnp.any(unfound & worth))
+                )
 
             def body(s):
                 c, Xb, Ub, costb, meritb, found = s
+                # chunk c covers α₀·f^(cK+1) .. α₀·f^(cK+K) — α₀ itself
+                # was evaluated by the fast-path trial that seeded `found`
                 al = alphas * (
                     opts.line_search_decrease_factor
-                    ** (c * K_ls).astype(state.X.dtype)
+                    ** (c * K_ls + 1).astype(state.X.dtype)
                 )
                 Xs, Us, costs, merits, oks = jax.vmap(trial)(al)  # (K, B, ..)
                 idx = jnp.argmax(oks, axis=0)                     # (B,)
@@ -418,9 +451,16 @@ class MSDDP:
                     found | hit,
                 )
 
+            def sel0(new, old):
+                m = ok1.reshape(ok1.shape + (1,) * (new.ndim - 1))
+                return jnp.where(m, new, old)
+
             init = (
-                jnp.asarray(0, jnp.int32), state.X, state.U,
-                state.cost, merit0, jnp.zeros_like(state.converged),
+                jnp.asarray(0, jnp.int32),
+                sel0(X1, state.X), sel0(U1, state.U),
+                jnp.where(ok1, cost1, state.cost),
+                jnp.where(ok1, merit1, merit0),
+                ok1,
             )
             _, Xb, Ub, costb, meritb, found = jax.lax.while_loop(
                 cond, body, init
@@ -730,12 +770,24 @@ class MSDDP:
         # chunked deepening (matches the batched path): width-K fans of
         # ever-smaller α until acceptance or the 1e-12 reference floor
         # (dsrbd_example.py:57) — constant latency on the warm path (one
-        # fan), unbounded-depth backtracking on the cold path.
+        # fan), deep backtracking only while the model's reduction at the
+        # chunk's α is resolvable above the merit's floating-point noise
+        # (see the batched-path `worth` gate).
         n_chunks = -(-opts.max_line_search_steps // K)
+        a0 = jnp.asarray(opts.alpha_0, dtype)
+        expected0 = -(a0 * dV1 + a0**2 * dV2) + (2.0 * a0 - a0**2) * nu * D
+        noise = jnp.maximum(
+            32.0 * jnp.finfo(dtype).eps * jnp.maximum(merit0, 1.0),
+            opts.cost_reduction_ths * jnp.maximum(merit0, 1.0),
+        )
 
         def cond(s):
             c, _, _, _, _, found = s
-            return (c < n_chunks) & ~found
+            alpha_c = jnp.asarray(
+                opts.line_search_decrease_factor, dtype
+            ) ** (c * K).astype(dtype)
+            worth = expected0 * alpha_c > noise
+            return (c < n_chunks) & ~found & ((c == 0) | worth)
 
         def body(s):
             c, Xb, Ub, costb, meritb, _ = s

@@ -127,3 +127,61 @@ class TestNativeTool:
                 np.testing.assert_allclose(
                     cc["frames"][f], py["frames"][f], atol=1e-9
                 )
+
+
+class TestKangarooRoundTrip:
+    """Extraction-to-constants closure (VERDICT missing #6): the recorded
+    constants in models/kangaroo.py must equal what the extractors produce
+    from the committed asset assets/kangaroo_like.urdf — hand-editing the
+    constants (or the asset) without regenerating fails here. Mirrors the
+    reference's startup derivation (prb.py:92-96,130-139)."""
+
+    def test_python_extraction_matches_recorded(self):
+        from srbd_horizon_tpu.models.kangaroo import (
+            kangaroo_from_urdf, kangaroo_line_feet,
+        )
+
+        rec = kangaroo_line_feet()
+        ext = kangaroo_from_urdf()
+        assert ext.mass == rec.mass
+        np.testing.assert_allclose(ext.com, rec.com, atol=1e-12)
+        np.testing.assert_allclose(ext.inertia, rec.inertia, atol=1e-9)
+        np.testing.assert_allclose(
+            ext.foot_positions, rec.foot_positions, atol=1e-12
+        )
+        assert ext.foot_frames == rec.foot_frames
+
+    def test_reference_pinned_numbers(self):
+        """The asset reproduces every reference-pinned quantity: LIP
+        height 0.88 (prb.py:317), left-sole world frame (launch:22),
+        line-feet geometry (launch:16,24-25)."""
+        from srbd_horizon_tpu.models.kangaroo import kangaroo_from_urdf
+
+        ext = kangaroo_from_urdf()
+        assert np.isclose(ext.com[2], 0.88)
+        np.testing.assert_allclose(
+            ext.foot_positions[0] - ext.foot_positions[1], [0.16, 0, 0],
+            atol=1e-12,
+        )
+        # left-foot contacts on the world plane
+        np.testing.assert_allclose(ext.foot_positions[:2, 2], 0.0, atol=1e-12)
+
+    @pytest.mark.skipif(shutil.which("g++") is None, reason="no C++ toolchain")
+    def test_native_extraction_matches_recorded(self):
+        from srbd_horizon_tpu.models.kangaroo import (
+            KANGAROO_FOOT_FRAMES, KANGAROO_JOINT_INIT, KANGAROO_URDF,
+            KANGAROO_WORLD_FRAME, kangaroo_line_feet,
+        )
+
+        subprocess.run(["make", "-s"], cwd=TOOL_DIR, check=True)
+        rec = kangaroo_line_feet()
+        cc = run_native_tool(
+            KANGAROO_URDF, list(KANGAROO_JOINT_INIT),
+            list(KANGAROO_FOOT_FRAMES), KANGAROO_WORLD_FRAME,
+        )
+        assert np.isclose(cc["mass"], rec.mass)
+        np.testing.assert_allclose(
+            np.array(cc["inertia"]), rec.inertia, atol=1e-9
+        )
+        feet = np.stack([cc["frames"][f] for f in KANGAROO_FOOT_FRAMES])
+        np.testing.assert_allclose(feet, rec.foot_positions, atol=1e-9)
