@@ -1,0 +1,110 @@
+"""Transcription tests (reference prb.py:111-113 `transcription_method`):
+the full-space NLP solver must (a) reproduce the MS-DDP optimum under the
+same multiple-shooting transcription, and (b) produce an
+equivalent-optimum trajectory under `direct_collocation` (trapezoidal),
+differing only by the integration scheme's O(dt²) discretization."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from srbd_horizon_tpu.config import DDPOptions, SRBDConfig
+from srbd_horizon_tpu.models.kangaroo import kangaroo_line_feet
+from srbd_horizon_tpu.problems.lip import build_lip_problem
+from srbd_horizon_tpu.solvers.alddp import ALOptions
+from srbd_horizon_tpu.solvers.collocation import GNOptions, TranscribedNLP
+from srbd_horizon_tpu.solvers.msddp import MSDDP
+
+
+def _lip(ns=10):
+    cfg = SRBDConfig(ns=ns, dtype=jnp.float64)
+    prob = build_lip_problem(cfg, kangaroo_line_feet())
+    return cfg, prob
+
+
+def _nlp_solve(prob, transcription, outer_iters=10):
+    nlp = TranscribedNLP(
+        prob.ocp,
+        transcription=transcription,
+        gn_opts=GNOptions(max_iters=40),
+        al_opts=ALOptions(outer_iters=outer_iters, rho0=1e3, tol=1e-8),
+    )
+    x0 = prob.initial_state
+    params = dict(prob.ocp.params)
+    # ask for forward motion so the optimum is non-trivial
+    params["rdot_ref"] = params["rdot_ref"].at[:, 0].set(0.1)
+    st = jax.jit(nlp.solve)(nlp.init(x0), x0, params)
+    return nlp, st, params
+
+
+class TestTranscriptions:
+    def test_multiple_shooting_matches_msddp(self):
+        """Same transcription, two different solvers (full-space AL-GN vs
+        MS-DDP with the 1e6 eq penalty): the optima must coincide."""
+        cfg, prob = _lip()
+        nlp, st, params = _nlp_solve(prob, "multiple_shooting")
+        X_nlp, U_nlp = nlp.unpack(st.z)
+        assert float(st.viol) < 1e-6
+
+        ddp = MSDDP(
+            prob.ocp,
+            DDPOptions(max_iters=100, alpha_converge_threshold=1e-12,
+                       beta=1e-3, cost_reduction_ths=1e-12),
+        )
+        sol = jax.jit(ddp.solve)(ddp.init(prob.initial_state),
+                                 prob.initial_state, params)
+        np.testing.assert_allclose(
+            np.asarray(X_nlp), np.asarray(sol.X), atol=2e-3
+        )
+        # objective parity (cost residuals only)
+        np.testing.assert_allclose(
+            float(nlp.objective(st.z, params)), float(sol.cost),
+            rtol=1e-3,
+        )
+
+    def test_direct_collocation_equivalent_optimum(self):
+        """Trapezoidal collocation vs multiple shooting on the same OCP:
+        feasible to tolerance, defects satisfy the COLLOCATION equations
+        (not the shooting ones), and the optimum matches shooting to the
+        integration-scheme difference."""
+        cfg, prob = _lip()
+        nlp_ms, st_ms, params = _nlp_solve(prob, "multiple_shooting")
+        nlp_dc, st_dc, _ = _nlp_solve(prob, "direct_collocation")
+        assert float(st_dc.viol) < 1e-6
+
+        X_ms, _ = nlp_ms.unpack(st_ms.z)
+        X_dc, U_dc = nlp_dc.unpack(st_dc.z)
+        # trapezoidal defect residual is exactly zero at the optimum
+        d = nlp_dc._defects(X_dc, U_dc, params)
+        assert float(jnp.max(jnp.abs(d))) < 1e-6
+        # and it is NOT the shooting defect (different scheme): the Euler
+        # defects of the collocation solution are O(dt²) but nonzero
+        d_euler = nlp_ms._defects(X_dc, U_dc, params)
+        assert float(jnp.max(jnp.abs(d_euler))) > 1e-5
+
+        # equivalent optimum up to discretization error
+        np.testing.assert_allclose(
+            np.asarray(X_dc), np.asarray(X_ms), atol=0.03
+        )
+        # Euler's O(dt) error at dt=0.1 against the LIP's eta^2≈11.1
+        # dynamics is genuinely ~20% in the objective (each optimum is
+        # exact for ITS discretization); the trajectory-level atol above
+        # is the meaningful equivalence check
+        o_ms = float(nlp_ms.objective(st_ms.z, params))
+        o_dc = float(nlp_dc.objective(st_dc.z, params))
+        assert abs(o_dc - o_ms) / max(o_ms, 1.0) < 0.3, (o_ms, o_dc)
+
+    def test_initial_condition_pinned(self):
+        cfg, prob = _lip()
+        nlp, st, params = _nlp_solve(prob, "direct_collocation")
+        X, _ = nlp.unpack(st.z)
+        np.testing.assert_allclose(
+            np.asarray(X[0]), np.asarray(prob.initial_state), atol=1e-7
+        )
+
+    def test_unknown_transcription_rejected(self):
+        import pytest
+
+        cfg, prob = _lip()
+        with pytest.raises(ValueError):
+            TranscribedNLP(prob.ocp, transcription="hermite_simpson_7")
