@@ -94,9 +94,10 @@ def _measure(batch: int, n_ticks: int, ns: int, max_iters: int):
 
 def main(batch: int = 4096, n_ticks: int = 10, ns: int = 20,
          max_iters: int = 5, realtime_batch: int = 256) -> None:
-    # LATENCY operating point: B=256, per-tick p50/p99 vs the 100 ms budget
+    # LATENCY operating point: B=256, per-tick p50/p99 vs the 100 ms
+    # budget; 100 ticks so the p99 is a statistic, not the sample max
     lat_times, lat_finite, lat_defect, lat_iters = _measure(
-        realtime_batch, max(30, n_ticks), ns, max_iters
+        realtime_batch, max(100, n_ticks), ns, max_iters
     )
     p50_ms = float(np.percentile(lat_times, 50) * 1e3)
     p99_ms = float(np.percentile(lat_times, 99) * 1e3)
