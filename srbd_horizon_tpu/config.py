@@ -138,6 +138,19 @@ class DDPOptions:
     #                  whole sweep in one program with the value function
     #                  resident in VMEM and double-buffered node streaming
     riccati_mode: str = "sequential"
+    # Lane-major backward tuning (result-equivalent up to f32 rounding):
+    #   backward_unroll:   lax.scan unroll factor for the Riccati sweep —
+    #                      trades instruction-stream length for fewer
+    #                      per-node dispatch boundaries
+    #   backward_contract: "split" evaluates the five GN quadratics and the
+    #                      five chain contractions as separate lane-major
+    #                      reduces; "combined" concatenates [Jx|Ju] and
+    #                      [A|B] and evaluates ONE (nr,nz,B) Gram and ONE
+    #                      (nx,nz,B) chain contraction per node (fewer,
+    #                      larger VPU kernels; computes the symmetric Qxu
+    #                      block redundantly, ~6% more FLOPs)
+    backward_unroll: int = 1
+    backward_contract: str = "split"
     # Pallas kernel tuning: scenarios per program (lane tile), and
     # interpreter mode for CPU tests
     pallas_block_batch: int = 128

@@ -274,22 +274,36 @@ class MSDDP:
         # them out (node-parallel broadcast-reduce) measured SLOWER on TPU
         # (36.9 ms vs 28.6 ms backward at B=1024); XLA's in-scan fusion of
         # the (nr × n) contractions wins.
+        combined = self.opts.backward_contract == "combined"
+
         def node(carry, inp):
             Vx, Vxx, dV1, dV2 = carry
             A_, B_, Jx_, Ju_, rho_, d_ = inp
-            lx = 2.0 * lm_matvec_tn(Jx_, rho_)
-            lu = 2.0 * lm_matvec_tn(Ju_, rho_)
-            lxx = 2.0 * lm_matmul_tn(Jx_, Jx_)
-            luu = 2.0 * lm_matmul_tn(Ju_, Ju_)
-            lux = 2.0 * lm_matmul_tn(Ju_, Jx_)
             Vx_d = Vx + lm_matvec(Vxx, d_)
-            Qx = lx + lm_matvec_tn(A_, Vx_d)
-            Qu = lu + lm_matvec_tn(B_, Vx_d)
-            VA = lm_matmul(Vxx, A_)
-            VB = lm_matmul(Vxx, B_)
-            Qxx = lxx + lm_matmul_tn(A_, VA)
-            Quu = luu + lm_matmul_tn(B_, VB) + eye_mu
-            Qux = lux + lm_matmul_tn(B_, VA)
+            if combined:
+                # one Gram + one chain contraction over z = [x|u]
+                Jz = jnp.concatenate([Jx_, Ju_], axis=1)   # (nr, nz, B)
+                W = jnp.concatenate([A_, B_], axis=1)      # (nx, nz, B)
+                Qz = 2.0 * lm_matvec_tn(Jz, rho_) + lm_matvec_tn(W, Vx_d)
+                VW = lm_matmul(Vxx, W)                     # (nx, nz, B)
+                Qzz = 2.0 * lm_matmul_tn(Jz, Jz) + lm_matmul_tn(W, VW)
+                Qx, Qu = Qz[:nx], Qz[nx:]
+                Qxx = Qzz[:nx, :nx]
+                Quu = Qzz[nx:, nx:] + eye_mu
+                Qux = Qzz[nx:, :nx]
+            else:
+                lx = 2.0 * lm_matvec_tn(Jx_, rho_)
+                lu = 2.0 * lm_matvec_tn(Ju_, rho_)
+                lxx = 2.0 * lm_matmul_tn(Jx_, Jx_)
+                luu = 2.0 * lm_matmul_tn(Ju_, Ju_)
+                lux = 2.0 * lm_matmul_tn(Ju_, Jx_)
+                Qx = lx + lm_matvec_tn(A_, Vx_d)
+                Qu = lu + lm_matvec_tn(B_, Vx_d)
+                VA = lm_matmul(Vxx, A_)
+                VB = lm_matmul(Vxx, B_)
+                Qxx = lxx + lm_matmul_tn(A_, VA)
+                Quu = luu + lm_matmul_tn(B_, VB) + eye_mu
+                Qux = lux + lm_matmul_tn(B_, VA)
             iQ = lm_spd_inverse(Quu)
             k = -lm_matvec(iQ, Qu)               # (nu, B)
             K = -lm_matmul(iQ, Qux)              # (nu, nx, B)
@@ -310,6 +324,7 @@ class MSDDP:
             node, (Vx_T, Vxx_T, zero, zero),
             (A, Bm, Jx, Ju, rho, d),
             reverse=True,
+            unroll=self.opts.backward_unroll,
         )
         # back to batch-first
         return (
