@@ -151,6 +151,11 @@ class DDPOptions:
     #                      block redundantly, ~6% more FLOPs)
     backward_unroll: int = 1
     backward_contract: str = "split"
+    # Forward-rollout scan unroll: the nonlinear rollout is a 20-step
+    # sequential scan of tiny per-step work (~5 MFLOP at B=1024), i.e.
+    # dispatch-latency-bound — unrolling shortens the dependency chain
+    # bookkeeping rather than the math
+    rollout_unroll: int = 1
     # Pallas kernel tuning: scenarios per program (lane tile), and
     # interpreter mode for CPU tests
     pallas_block_batch: int = 128

@@ -82,6 +82,29 @@ class OCP:
     u_lb: Optional[jnp.ndarray] = None
     u_ub: Optional[jnp.ndarray] = None
 
+    # Optional closed-form stage linearization fast path:
+    #   stage_jacobians(x, u, p, dt) ->
+    #       (A (nx,nx), B (nx,nu),          discrete-step Jacobians
+    #        Jr_x (nr,nx), Jr_u (nr,nu),    stage_residual Jacobians
+    #        Jh_x (nh,nx), Jh_u (nh,nu))    stage_eq Jacobians
+    # When provided, the DDP solver uses it instead of jacfwd over the
+    # stage callables (the reference gets the same effect from CasADi's
+    # symbolic jacobians, prb.py via pyddp). Must match AD to rounding —
+    # tests/test_analytic_jac.py enforces this.
+    stage_jacobians: Optional[Callable[..., Any]] = None
+
+    # Optional residual-sparsity metadata over the STACKED stage rows
+    # [stage_residual; stage_eq] (the solver's penalty stack): indices of
+    # rows whose Jacobian has any x- (resp. u-) dependence. When set, the
+    # lane-major backward computes the Gauss-Newton Gram products over the
+    # pruned row sets only (rows absent from a set have identically-zero
+    # Jacobian there and contribute nothing). For the SRBD stack this cuts
+    # the Gram FLOPs ~65%: 34 of 73 rows touch x, 42 touch u, and only the
+    # 3 angular-acceleration rows touch both. tests/test_analytic_jac.py
+    # verifies the declared sets are complete against AD.
+    residual_x_rows: Optional[Any] = None
+    residual_u_rows: Optional[Any] = None
+
     # template parameter pytree: dict name -> (ns+1, dim) array
     params: Dict[str, jnp.ndarray] = dataclasses.field(default_factory=dict)
 

@@ -24,7 +24,15 @@ import jax.numpy as jnp
 import numpy as np
 
 from srbd_horizon_tpu.config import SRBDConfig
-from srbd_horizon_tpu.math.quat import quat_inverse, quat_product
+import jax
+
+from srbd_horizon_tpu.math.linalg import spd_inverse
+from srbd_horizon_tpu.math.quat import (
+    quat_inverse,
+    quat_product,
+    skew,
+    solve3x3,
+)
 from srbd_horizon_tpu.models import srbd as srbd_model
 from srbd_horizon_tpu.models.kangaroo import RobotConstants
 from srbd_horizon_tpu.ocp import integrators
@@ -210,6 +218,162 @@ def build_srbd_problem(
     # EULER for DDP-path parity (ddp.py:228-230); RK2/RK4 selectable
     step = integrators.BY_NAME[integrator](xdot)
 
+    # ---- closed-form stage linearization (the DDP fast path) ----------
+    # Only ∂ẇ/∂o goes through AD (4 tangents through the angular dynamics:
+    # the o-dependence enters via R(o) I Rᵀ and has no tidy closed form);
+    # every other Jacobian block is hand-derived. The reference gets its
+    # derivatives from CasADi's symbolic jacobians of the same expressions
+    # (prb.py:97-109,184-204 via pyddp); jacfwd over the full stage stack
+    # costs nx+nu=61 tangent passes per node — this path replaces them.
+    i_c = 7
+    i_rdot = 7 + 3 * nc
+    i_w = 10 + 3 * nc
+    i_cdot = 13 + 3 * nc
+    nx_ = 13 + 6 * nc
+    nu_ = 6 * nc
+    n_legs = cfg.number_of_legs
+
+    def stage_jacobians(x, u, p, dt):
+        s, i_in = split(x, u)
+        dty = x.dtype
+        I3 = jnp.eye(3, dtype=dty)
+        m_s = constants["m_scaled"]
+        r, o, w, c, f = s["r"], s["o"], s["w"], s["c"], i_in["f"]
+
+        # shared angular-dynamics blocks: ẇ = I_w⁻¹(τ − w×I_w w),
+        # τ = Σ(cᵢ−r)×fᵢ,  I_w = R(o) I Rᵀ
+        I_world = srbd_model.world_inertia(constants["inertia_scaled"], o)
+        iIw = spd_inverse(I_world)
+        f_tot = jnp.sum(f, axis=0)
+        dwdot_dr = iIw @ skew(f_tot)                       # d τ/dr = [Σf]ₓ
+        dwdot_dw = iIw @ (skew(I_world @ w) - skew(w) @ I_world)
+        dwdot_dc = -jnp.einsum("ij,kjl->kil", iIw, skew(f))   # (nc,3,3)
+        dwdot_df = jnp.einsum("ij,kjl->kil", iIw, skew(c - r[None]))
+
+        def wdot_of_o(o_):
+            Iw_ = srbd_model.world_inertia(constants["inertia_scaled"], o_)
+            tau = jnp.sum(jnp.cross(c - r[None], f), axis=0)
+            return solve3x3(Iw_, tau - jnp.cross(w, Iw_ @ w))
+
+        dwdot_do = jax.jacfwd(wdot_of_o)(o)                # (3, 4)
+
+        # ȯ = ½ ω̂⊗o blocks: vec = o_w·w + w×o_v, scalar = −w·o_v
+        ov, ow = o[:3], o[3]
+        do_do = 0.5 * jnp.concatenate(
+            [
+                jnp.concatenate([skew(w), w[:, None]], axis=1),
+                jnp.concatenate([-w[None, :], jnp.zeros((1, 1), dty)], axis=1),
+            ],
+            axis=0,
+        )                                                  # (4, 4)
+        do_dw = 0.5 * jnp.concatenate(
+            [ow * I3 - skew(ov), -ov[None, :]], axis=0
+        )                                                  # (4, 3)
+
+        # ---- continuous-dynamics Jacobians, then Euler composition ----
+        Jxd = jnp.zeros((nx_, nx_), dty)
+        Jxd = Jxd.at[0:3, i_rdot : i_rdot + 3].set(I3)
+        Jxd = Jxd.at[3:7, 3:7].set(do_do)
+        Jxd = Jxd.at[3:7, i_w : i_w + 3].set(do_dw)
+        Jxd = Jxd.at[i_c : i_c + 3 * nc, i_cdot : i_cdot + 3 * nc].set(
+            jnp.eye(3 * nc, dtype=dty)
+        )
+        Jxd = Jxd.at[i_w : i_w + 3, 0:3].set(dwdot_dr)
+        Jxd = Jxd.at[i_w : i_w + 3, 3:7].set(dwdot_do)
+        Jxd = Jxd.at[i_w : i_w + 3, i_c : i_c + 3 * nc].set(
+            dwdot_dc.transpose(1, 0, 2).reshape(3, 3 * nc)
+        )
+        Jxd = Jxd.at[i_w : i_w + 3, i_w : i_w + 3].set(dwdot_dw)
+
+        Jud = jnp.zeros((nx_, nu_), dty)
+        Jud = Jud.at[i_w : i_w + 3, :].set(
+            jnp.concatenate(
+                [
+                    jnp.concatenate(
+                        [jnp.zeros((3, 3), dty), dwdot_df[k]], axis=1
+                    )
+                    for k in range(nc)
+                ],
+                axis=1,
+            )
+        )
+        for k in range(nc):
+            Jud = Jud.at[i_rdot : i_rdot + 3, 6 * k + 3 : 6 * k + 6].set(I3 / m_s)
+            Jud = Jud.at[i_cdot + 3 * k : i_cdot + 3 * k + 3, 6 * k : 6 * k + 3].set(I3)
+
+        A = jnp.eye(nx_, dtype=dty) + dt * Jxd
+        Bm = dt * Jud
+
+        # ---- stage_residual Jacobian (row order = stage_residual) ----
+        mt = p["mask_track"][0]
+        otg = p["orientation_tracking_gain"][0]
+        qv, qw = p["oref"][:3], p["oref"][3]
+        # qerr = o⊗oref is linear in o: ∂qerr/∂o = [[qw·I−[qv]ₓ, qv], [−qvᵀ, qw]]
+        Rq = jnp.concatenate(
+            [
+                jnp.concatenate([qw * I3 - skew(qv), qv[:, None]], axis=1),
+                jnp.concatenate([-qv[None, :], qw[None, None]], axis=1),
+            ],
+            axis=0,
+        )
+
+        nr_ = 21 + 9 * nc   # 15 fixed + qddot(6+3nc) + min_f(3nc) + fswitch(3nc)
+        Jrx = jnp.zeros((nr_, nx_), dty)
+        Jru = jnp.zeros((nr_, nu_), dty)
+        Jrx = Jrx.at[0, 2].set(mt * w_r)
+        Jrx = Jrx.at[1:5, 3:7].set(mt * otg * Rq)
+        Jrx = Jrx.at[5:8, i_rdot : i_rdot + 3].set(mt * w_rdot * I3)
+        Jrx = Jrx.at[8:11, i_w : i_w + 3].set(mt * w_w * I3)
+        wrel = mt * w_rel
+        Jrx = Jrx.at[11, i_c + 1].set(-wrel)
+        Jrx = Jrx.at[11, i_c + 3 * cm + 1].set(wrel)
+        Jrx = Jrx.at[12, i_c + 0].set(-wrel)
+        Jrx = Jrx.at[12, i_c + 3 * cm + 0].set(wrel)
+        Jrx = Jrx.at[13, i_c + 3 * (cm - 1) + 1].set(-wrel)
+        Jrx = Jrx.at[13, i_c + 3 * (nc - 1) + 1].set(wrel)
+        Jrx = Jrx.at[14, i_c + 3 * (cm - 1) + 0].set(-wrel)
+        Jrx = Jrx.at[14, i_c + 3 * (nc - 1) + 0].set(wrel)
+        # min_qddot rows 15:21+3nc — qddot = [rddot, wdot, cddot]
+        Jrx = Jrx.at[18:21, 0:3].set(w_qddot * dwdot_dr)
+        Jrx = Jrx.at[18:21, 3:7].set(w_qddot * dwdot_do)
+        Jrx = Jrx.at[18:21, i_c : i_c + 3 * nc].set(
+            w_qddot * dwdot_dc.transpose(1, 0, 2).reshape(3, 3 * nc)
+        )
+        Jrx = Jrx.at[18:21, i_w : i_w + 3].set(w_qddot * dwdot_dw)
+        i_mf = 21 + 3 * nc
+        for k in range(nc):
+            fcol = slice(6 * k + 3, 6 * k + 6)
+            Jru = Jru.at[15:18, fcol].set(w_qddot / m_s * I3)
+            Jru = Jru.at[18:21, fcol].set(w_qddot * dwdot_df[k])
+            Jru = Jru.at[21 + 3 * k : 24 + 3 * k, 6 * k : 6 * k + 3].set(
+                w_qddot * I3
+            )
+            Jru = Jru.at[i_mf + 3 * k : i_mf + 3 * k + 3, fcol].set(w_minf * I3)
+            Jru = Jru.at[
+                i_mf + 3 * nc + 3 * k : i_mf + 3 * nc + 3 * k + 3, fcol
+            ].set(w_fswitch * (1.0 - p["cdot_switch"][k]) * I3)
+
+        # ---- stage_eq Jacobian (row order = stage_eq) ----
+        nh_ = 2 * n_legs * (cm - 1) + nc + 2 * nc
+        Jhx = jnp.zeros((nh_, nx_), dty)
+        Jhu = jnp.zeros((nh_, nu_), dty)
+        row = 0
+        for leg in range(n_legs):
+            base = leg * cm
+            for i in range(1, cm):
+                for ax in (0, 1):
+                    Jhx = Jhx.at[row, i_cdot + 3 * base + ax].set(1.0)
+                    Jhx = Jhx.at[row, i_cdot + 3 * (base + i) + ax].set(-1.0)
+                    row += 1
+        for k in range(nc):
+            Jhx = Jhx.at[row + k, i_c + 3 * k + 2].set(1.0)
+        row += nc
+        for k in range(nc):
+            for ax in (0, 1):
+                Jhx = Jhx.at[row, i_cdot + 3 * k + ax].set(p["cdot_switch"][k])
+                row += 1
+        return A, Bm, Jrx, Jru, Jhx, Jhu
+
     params: Dict[str, jnp.ndarray] = {
         "rdot_ref": jnp.zeros((ns + 1, 3), dtype),                # prb.py:71,74
         "w_ref": jnp.zeros((ns + 1, 3), dtype),                   # prb.py:72,75
@@ -236,6 +400,18 @@ def build_srbd_problem(
         stage_ineq=stage_ineq,
         ineq_ub=jnp.zeros(nc * 5, dtype),
         ineq_lb=jnp.full((nc * 5,), -jnp.inf, dtype),
+        # the closed-form A/B composition assumes the Euler step
+        stage_jacobians=(
+            stage_jacobians if integrator.upper() == "EULER" else None
+        ),
+        # stacked-row sparsity ([residual(57); eq(16)] for nc=4):
+        #   x-rows: rz/o/rdot/w/rel (0:15), wdot (18:21), all eq rows
+        #   u-rows: rddot/wdot/cddot/min_f/fswitch (15:57)
+        residual_x_rows=tuple(
+            list(range(15)) + [18, 19, 20]
+            + list(range(21 + 9 * nc, 21 + 9 * nc + 2 * n_legs * (cm - 1) + 3 * nc))
+        ),
+        residual_u_rows=tuple(range(15, 21 + 9 * nc)),
         params=params,
         constants=constants,
     )

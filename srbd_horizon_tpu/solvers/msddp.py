@@ -39,6 +39,7 @@ from typing import Any, Dict, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from srbd_horizon_tpu.config import DDPOptions
 from srbd_horizon_tpu.math.linalg import (
@@ -115,14 +116,25 @@ class MSDDP:
             return self._stage_rho(xu[:nx], xu[nx:], p)
 
         XU = jnp.concatenate([X[:ns], U], axis=1)
-        # dynamics: f, A=∂f/∂x, B=∂f/∂u
         F = jax.vmap(dyn_xu)(XU, p_stage)                       # (ns, nx)
-        Jf = jax.vmap(jax.jacfwd(dyn_xu))(XU, p_stage)          # (ns, nx, nx+nu)
-        A, B = Jf[:, :, :nx], Jf[:, :, nx:]
-        # stage residuals and Jacobians (exact Gauss-Newton data)
         rho = jax.vmap(rho_xu)(XU, p_stage)                     # (ns, nr)
-        Jr = jax.vmap(jax.jacfwd(rho_xu))(XU, p_stage)          # (ns, nr, nx+nu)
-        Jx, Ju = Jr[:, :, :nx], Jr[:, :, nx:]
+        if self.ocp.stage_jacobians is not None:
+            # closed-form stage linearization (e.g. problems/srbd.py) —
+            # replaces nx+nu jacfwd tangent passes per node
+            A, B, Jrx, Jru, Jhx, Jhu = jax.vmap(
+                lambda x, u, p: self.ocp.stage_jacobians(x, u, p, dt)
+            )(X[:ns], U, p_stage)
+            wc = jnp.sqrt(
+                jnp.asarray(self.opts.constraint_weight, X.dtype)
+            )
+            Jx = jnp.concatenate([Jrx, wc * Jhx], axis=1)
+            Ju = jnp.concatenate([Jru, wc * Jhu], axis=1)
+        else:
+            # dynamics: A=∂f/∂x, B=∂f/∂u; residual GN data — via jacfwd
+            Jf = jax.vmap(jax.jacfwd(dyn_xu))(XU, p_stage)      # (ns, nx, nx+nu)
+            A, B = Jf[:, :, :nx], Jf[:, :, nx:]
+            Jr = jax.vmap(jax.jacfwd(rho_xu))(XU, p_stage)      # (ns, nr, nx+nu)
+            Jx, Ju = Jr[:, :, :nx], Jr[:, :, nx:]
 
         # terminal
         p_term = {k: v[self.ocp.ns] for k, v in params.items()}
@@ -273,37 +285,24 @@ class MSDDP:
         # note: the GN quadratics are computed INSIDE the scan — hoisting
         # them out (node-parallel broadcast-reduce) measured SLOWER on TPU
         # (36.9 ms vs 28.6 ms backward at B=1024); XLA's in-scan fusion of
-        # the (nr × n) contractions wins.
+        # the (nr × n) contractions wins. The combined-[A|B] contraction
+        # and scan unroll variants also measured slower (−7% / −15% at
+        # B=1024, tools/bench_backward_variants.py) — split row-pruned is
+        # the production shape.
         combined = self.opts.backward_contract == "combined"
+        xr, ur = self.ocp.residual_x_rows, self.ocp.residual_u_rows
+        pruned = xr is not None and ur is not None and not combined
+        if pruned:
+            # Gram products over the declared-nonzero row sets only; rows
+            # outside a set have identically-zero Jacobian there (enforced
+            # by tests/test_analytic_jac.py) and contribute nothing.
+            xr_l, ur_l = list(xr), list(ur)
+            both = [r for r in xr_l if r in set(ur_l)]
+            xu_in_x = np.asarray([xr_l.index(r) for r in both], np.int32)
+            xu_in_u = np.asarray([ur_l.index(r) for r in both], np.int32)
 
-        def node(carry, inp):
+        def chain(carry, Qx, Qu, Qxx, Quu, Qux):
             Vx, Vxx, dV1, dV2 = carry
-            A_, B_, Jx_, Ju_, rho_, d_ = inp
-            Vx_d = Vx + lm_matvec(Vxx, d_)
-            if combined:
-                # one Gram + one chain contraction over z = [x|u]
-                Jz = jnp.concatenate([Jx_, Ju_], axis=1)   # (nr, nz, B)
-                W = jnp.concatenate([A_, B_], axis=1)      # (nx, nz, B)
-                Qz = 2.0 * lm_matvec_tn(Jz, rho_) + lm_matvec_tn(W, Vx_d)
-                VW = lm_matmul(Vxx, W)                     # (nx, nz, B)
-                Qzz = 2.0 * lm_matmul_tn(Jz, Jz) + lm_matmul_tn(W, VW)
-                Qx, Qu = Qz[:nx], Qz[nx:]
-                Qxx = Qzz[:nx, :nx]
-                Quu = Qzz[nx:, nx:] + eye_mu
-                Qux = Qzz[nx:, :nx]
-            else:
-                lx = 2.0 * lm_matvec_tn(Jx_, rho_)
-                lu = 2.0 * lm_matvec_tn(Ju_, rho_)
-                lxx = 2.0 * lm_matmul_tn(Jx_, Jx_)
-                luu = 2.0 * lm_matmul_tn(Ju_, Ju_)
-                lux = 2.0 * lm_matmul_tn(Ju_, Jx_)
-                Qx = lx + lm_matvec_tn(A_, Vx_d)
-                Qu = lu + lm_matvec_tn(B_, Vx_d)
-                VA = lm_matmul(Vxx, A_)
-                VB = lm_matmul(Vxx, B_)
-                Qxx = lxx + lm_matmul_tn(A_, VA)
-                Quu = luu + lm_matmul_tn(B_, VB) + eye_mu
-                Qux = lux + lm_matmul_tn(B_, VA)
             iQ = lm_spd_inverse(Quu)
             k = -lm_matvec(iQ, Qu)               # (nu, B)
             K = -lm_matmul(iQ, Qux)              # (nu, nx, B)
@@ -320,9 +319,70 @@ class MSDDP:
             dV2_new = dV2 + 0.5 * jnp.sum(k * Quu_k, axis=0)
             return (Vx_new, Vxx_new, dV1_new, dV2_new), (k, K)
 
+        def q_terms(carry, A_, B_, lx, lu, lxx, luu, lux, d_):
+            Vx, Vxx = carry[0], carry[1]
+            Vx_d = Vx + lm_matvec(Vxx, d_)
+            Qx = lx + lm_matvec_tn(A_, Vx_d)
+            Qu = lu + lm_matvec_tn(B_, Vx_d)
+            VA = lm_matmul(Vxx, A_)
+            VB = lm_matmul(Vxx, B_)
+            Qxx = lxx + lm_matmul_tn(A_, VA)
+            Quu = luu + lm_matmul_tn(B_, VB) + eye_mu
+            Qux = lux + lm_matmul_tn(B_, VA)
+            return Qx, Qu, Qxx, Quu, Qux
+
+        if combined:
+            def node(carry, inp):
+                A_, B_, Jx_, Ju_, rho_, d_ = inp
+                Vx_d = carry[0] + lm_matvec(carry[1], d_)
+                # one Gram + one chain contraction over z = [x|u]
+                Jz = jnp.concatenate([Jx_, Ju_], axis=1)   # (nr, nz, B)
+                W = jnp.concatenate([A_, B_], axis=1)      # (nx, nz, B)
+                Qz = 2.0 * lm_matvec_tn(Jz, rho_) + lm_matvec_tn(W, Vx_d)
+                VW = lm_matmul(carry[1], W)                # (nx, nz, B)
+                Qzz = 2.0 * lm_matmul_tn(Jz, Jz) + lm_matmul_tn(W, VW)
+                return chain(
+                    carry, Qz[:nx], Qz[nx:],
+                    Qzz[:nx, :nx], Qzz[nx:, nx:] + eye_mu, Qzz[nx:, :nx],
+                )
+            xs = (A, Bm, Jx, Ju, rho, d)
+        elif pruned:
+            def node(carry, inp):
+                A_, B_, Jxp_, Jup_, rxp_, rup_, d_ = inp
+                lx = 2.0 * lm_matvec_tn(Jxp_, rxp_)
+                lu = 2.0 * lm_matvec_tn(Jup_, rup_)
+                lxx = 2.0 * lm_matmul_tn(Jxp_, Jxp_)
+                luu = 2.0 * lm_matmul_tn(Jup_, Jup_)
+                lux = 2.0 * lm_matmul_tn(
+                    jnp.take(Jup_, xu_in_u, axis=0),
+                    jnp.take(Jxp_, xu_in_x, axis=0),
+                )
+                return chain(
+                    carry, *q_terms(carry, A_, B_, lx, lu, lxx, luu, lux, d_)
+                )
+            xs = (
+                A, Bm,
+                jnp.take(Jx, np.asarray(xr_l, np.int32), axis=1),
+                jnp.take(Ju, np.asarray(ur_l, np.int32), axis=1),
+                jnp.take(rho, np.asarray(xr_l, np.int32), axis=1),
+                jnp.take(rho, np.asarray(ur_l, np.int32), axis=1),
+                d,
+            )
+        else:
+            def node(carry, inp):
+                A_, B_, Jx_, Ju_, rho_, d_ = inp
+                lx = 2.0 * lm_matvec_tn(Jx_, rho_)
+                lu = 2.0 * lm_matvec_tn(Ju_, rho_)
+                lxx = 2.0 * lm_matmul_tn(Jx_, Jx_)
+                luu = 2.0 * lm_matmul_tn(Ju_, Ju_)
+                lux = 2.0 * lm_matmul_tn(Ju_, Jx_)
+                return chain(
+                    carry, *q_terms(carry, A_, B_, lx, lu, lxx, luu, lux, d_)
+                )
+            xs = (A, Bm, Jx, Ju, rho, d)
+
         (_, _, dV1, dV2), (ks, Ks) = jax.lax.scan(
-            node, (Vx_T, Vxx_T, zero, zero),
-            (A, Bm, Jx, Ju, rho, d),
+            node, (Vx_T, Vxx_T, zero, zero), xs,
             reverse=True,
             unroll=self.opts.backward_unroll,
         )
@@ -698,7 +758,8 @@ class MSDDP:
             return xnext, (xhat, u)
 
         x_final, (Xs, Us) = jax.lax.scan(
-            node, x0, (X[:ns], U, ks, Ks, d, p_stage)
+            node, x0, (X[:ns], U, ks, Ks, d, p_stage),
+            unroll=self.opts.rollout_unroll,
         )
         Xnew = jnp.concatenate([Xs, x_final[None]], axis=0)
         return Xnew, Us

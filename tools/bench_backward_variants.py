@@ -18,7 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def bench_variant(batch, contract, unroll, reps=10):
+def bench_variant(batch, contract, unroll, reps=10, roll_unroll=1):
     from srbd_horizon_tpu.config import DDPOptions, SRBDConfig
     from srbd_horizon_tpu.models.kangaroo import kangaroo_line_feet
     from srbd_horizon_tpu.problems.srbd import build_srbd_problem
@@ -34,6 +34,7 @@ def bench_variant(batch, contract, unroll, reps=10):
         DDPOptions(
             max_iters=5, alpha_converge_threshold=1e-12, beta=1e-3,
             backward_contract=contract, backward_unroll=unroll,
+            rollout_unroll=roll_unroll,
         ),
     )
     wpg = WalkingPatternGenerator.build(0.0, cfg.ns, dtype=dtype)
@@ -42,7 +43,9 @@ def bench_variant(batch, contract, unroll, reps=10):
     B = batch
     x0 = jnp.tile(prob.initial_state[None], (B, 1))
     carries = jax.vmap(loop.init)(x0)
-    vtick = jax.jit(jax.vmap(loop.tick))
+    # the production lane-major path (solve_batch) — NOT vmap(tick), which
+    # routes through the single-member backward and ignores these knobs
+    vtick = jax.jit(loop.tick_batch)
     inp = TickInput(
         action=jnp.ones(B, jnp.int32),
         rdot_ref=jnp.tile(jnp.array([0.2, 0.0, 0.0], dtype)[None], (B, 1)),
@@ -58,7 +61,7 @@ def bench_variant(batch, contract, unroll, reps=10):
     dt_tick = (time.perf_counter() - t0) / reps
     md = float(np.max(np.asarray(out.defect_norm)))
     print(
-        f"contract={contract:8s} unroll={unroll}: "
+        f"contract={contract:8s} unroll={unroll} roll_unroll={roll_unroll}: "
         f"{dt_tick*1e3:8.2f} ms/tick  {B/dt_tick:9.0f} solve/s  "
         f"max_defect={md:.2e}",
         flush=True,

@@ -72,54 +72,71 @@ def tree_bytes(tree):
     )
 
 
-def device_ceilings(B=1024, nx=37, dtype=jnp.float32, iters=32, reps=5):
-    """Measured, memoization-proof ceilings via chained loops."""
+def device_ceilings(B=1024, nx=37, dtype=jnp.float32, reps=5):
+    """Measured, memoization-proof ceilings via chained loops.
+
+    Each per-rep host read costs one tunnel round trip on the remote
+    backend, so (a) the chains are long enough that compute dominates the
+    RTT and (b) the RTT floor — measured on a trivial chain — is
+    subtracted from every per-call time. The result is a lower bound on
+    the true ceiling that tightens as iters grows."""
     from srbd_horizon_tpu.math.linalg import lm_matmul
 
     # (operands passed as ARGUMENTS, never closed over — closure arrays
     # get baked into the HLO as constants and blow up the remote-compile
     # request body)
 
+    # round-trip floor: a near-free feedback chain
+    z0 = jnp.zeros((8,), dtype)
+    t_rtt = timeit_feedback(jax.jit(lambda z: z * 1.000001 + 1e-9), z0,
+                            reps=reps)
+
     # MXU f32: chained 2048^2 matmuls
-    n = 2048
+    n, mm_iters = 2048, 64
     a0 = jax.random.normal(jax.random.key(0), (n, n), dtype) / n
 
     def mm_chain(a, w):
         def body(_, x):
             return 0.999 * (x @ w)
-        return jax.lax.fori_loop(0, iters, body, a)
+        return jax.lax.fori_loop(0, mm_iters, body, a)
 
     with jax.default_matmul_precision("highest"):
         t = timeit_feedback(jax.jit(mm_chain), a0, a0, reps=reps)
-    mxu_f32 = iters * 2 * n**3 / t / 1e12
+    t = max(t - t_rtt, 1e-9)
+    mxu_f32 = mm_iters * 2 * n**3 / t / 1e12
 
     # VPU lane-major contraction ceiling on OUR op shape: chained
     # (nx,nx,B) x (nx,nx,B) batched matmuls (batch on lanes)
+    lm_iters = 512
     M0 = jax.random.normal(jax.random.key(1), (nx, nx, B), dtype) / nx
 
     def lm_chain(M, W):
         def body(_, x):
             return 0.999 * lm_matmul(x, W)
-        return jax.lax.fori_loop(0, iters, body, M)
+        return jax.lax.fori_loop(0, lm_iters, body, M)
 
     with jax.default_matmul_precision("highest"):
         t = timeit_feedback(jax.jit(lm_chain), M0, M0, reps=reps)
-    vpu_lm = iters * 2 * nx**3 * B / t / 1e12
+    t = max(t - t_rtt, 1e-9)
+    vpu_lm = lm_iters * 2 * nx**3 * B / t / 1e12
 
     # HBM stream: chained elementwise add over 2^26 elems (each loop
     # iteration is its own kernel: read x, read y, write y = 12 B/elem)
-    m = 1 << 26
+    m, st_iters = 1 << 26, 128
     x = jax.random.normal(jax.random.key(2), (m,), dtype)
 
     def stream_chain(y, xx):
         def body(_, yy):
             return xx * 0.999 + yy
-        return jax.lax.fori_loop(0, iters, body, y)
+        return jax.lax.fori_loop(0, st_iters, body, y)
 
     t = timeit_feedback(jax.jit(stream_chain), x, x, reps=reps)
-    hbm = iters * 3 * 4 * m / t / 1e9
+    t = max(t - t_rtt, 1e-9)
+    hbm = st_iters * 3 * 4 * m / t / 1e9
 
-    print(f"measured ceilings (chained): MXU f32 {mxu_f32:.1f} TFLOP/s, "
+    print(f"rtt floor {t_rtt*1e3:.2f} ms")
+    print(f"measured ceilings (chained, rtt-corrected): "
+          f"MXU f32 {mxu_f32:.1f} TFLOP/s, "
           f"lane-major contraction {vpu_lm:.3f} TFLOP/s, "
           f"HBM stream {hbm:.0f} GB/s")
     return mxu_f32, vpu_lm, hbm
