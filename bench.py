@@ -32,8 +32,22 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def _measure(batch: int, n_ticks: int, ns: int, max_iters: int):
-    """Run one operating point; returns per-tick wall times + health stats."""
+def _drain(out) -> None:
+    """Force true completion: on the remote-execution backend
+    `block_until_ready` returns before the work drains — only a host read
+    of a value is a real barrier."""
+    float(jnp.sum(out.defect_norm))
+
+
+def _measure(batch: int, n_ticks: int, ns: int, max_iters: int,
+             per_tick_sync: bool = True):
+    """Run one operating point; returns per-tick wall times + health stats.
+
+    per_tick_sync=True  — host-read after every tick: each sample is a true
+                          end-to-end tick latency (including one device→host
+                          readback, as a deployed controller would pay).
+    per_tick_sync=False — dispatch the whole run and host-read once at the
+                          end: pipelined steady-state throughput."""
     from srbd_horizon_tpu.config import DDPOptions, SRBDConfig
     from srbd_horizon_tpu.models.kangaroo import kangaroo_line_feet
     from srbd_horizon_tpu.problems.srbd import build_srbd_problem
@@ -71,25 +85,46 @@ def _measure(batch: int, n_ticks: int, ns: int, max_iters: int):
             w_ref=jnp.zeros((B, 3), dtype),
         )
 
-    # warmup: compile + 2 ticks to reach warm-started steady state
+    # warmup: compile + 3 ticks to reach warm-started steady state
     carries, out = vtick(carries, make_inp(0))
     carries, out = vtick(carries, make_inp(1))
-    jax.block_until_ready(carries)
+    carries, out = vtick(carries, make_inp(2))
+    _drain(out)
 
-    # per-tick device sync: slightly pessimistic (no dispatch pipelining)
-    # but robust — a chained-dispatch measurement can silently report
-    # nonsense if the runtime misbehaves
-    times = []
-    for t in range(n_ticks):
+    if per_tick_sync:
+        times = []
+        for t in range(n_ticks):
+            t0 = time.perf_counter()
+            carries, out = vtick(carries, make_inp(t))
+            _drain(out)
+            times.append(time.perf_counter() - t0)
+        times = np.asarray(times)
+    else:
         t0 = time.perf_counter()
-        carries, out = vtick(carries, make_inp(t))
-        jax.block_until_ready(out)
-        times.append(time.perf_counter() - t0)
+        for t in range(n_ticks):
+            carries, out = vtick(carries, make_inp(t))
+        _drain(out)
+        times = np.full(n_ticks, (time.perf_counter() - t0) / n_ticks)
 
     finite = bool(np.all(np.isfinite(np.asarray(out.x))))
     max_defect = float(np.max(np.asarray(out.defect_norm)))
     iters_mean = float(np.mean(np.asarray(out.iterations)))
-    return np.asarray(times), finite, max_defect, iters_mean
+    return times, finite, max_defect, iters_mean
+
+
+def _rtt_ms() -> float:
+    """Per-call dispatch+readback floor of the backend (on the axon tunnel
+    this is network round-trip, not device time) — reported so the latency
+    percentiles are interpretable."""
+    f = jax.jit(lambda z: z * 1.000001 + 1e-9)
+    z = jnp.zeros((8,), jnp.float32)
+    z = f(z)
+    float(jnp.sum(z))
+    t0 = time.perf_counter()
+    for _ in range(10):
+        z = f(z)
+        float(jnp.sum(z))
+    return (time.perf_counter() - t0) / 10 * 1e3
 
 
 def main(batch: int = 4096, n_ticks: int = 10, ns: int = 20,
@@ -102,9 +137,11 @@ def main(batch: int = 4096, n_ticks: int = 10, ns: int = 20,
     p50_ms = float(np.percentile(lat_times, 50) * 1e3)
     p99_ms = float(np.percentile(lat_times, 99) * 1e3)
 
-    # THROUGHPUT operating point: the headline number
+    # THROUGHPUT operating point: the headline number — pipelined
+    # steady-state ticks (dispatch chained, one host read at the end),
+    # the way a serving fleet actually runs
     thr_times, finite, max_defect, iters_mean = _measure(
-        batch, n_ticks, ns, max_iters
+        batch, max(20, n_ticks), ns, max_iters, per_tick_sync=False
     )
     elapsed = float(np.sum(thr_times))
     ticks_per_s = len(thr_times) / elapsed
@@ -129,6 +166,9 @@ def main(batch: int = 4096, n_ticks: int = 10, ns: int = 20,
         "p99_ms": round(p99_ms, 2),
         "realtime_ok": bool(p99_ms <= 100.0),
         "realtime_solves_per_s": round(realtime_batch * 1e3 / p50_ms, 1),
+        # backend dispatch+readback floor (tunnel RTT, included in every
+        # latency sample above; an on-host deployment would not pay it)
+        "rtt_ms": round(_rtt_ms(), 2),
         "device": str(jax.devices()[0]),
     }
     # sanity: a warm MPC tick must actually iterate the solver

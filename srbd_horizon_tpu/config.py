@@ -151,6 +151,16 @@ class DDPOptions:
     #                      block redundantly, ~6% more FLOPs)
     backward_unroll: int = 1
     backward_contract: str = "split"
+    # Opt-in fast paths (both measured SLOWER than the XLA-AD defaults on
+    # TPU v5e-lite at B=1024, tools/bench_linearize_variants.py:
+    # analytic −10%, pruning −3% — the solver is fusion/memory-movement
+    # bound, not FLOP bound; the closed-form assembly's scatter chains and
+    # the pruning gathers both break XLA fusion. Kept as validated,
+    # AD-exact alternatives for backends where FLOPs dominate):
+    #   analytic_jacobians: use the OCP's closed-form stage_jacobians
+    #   gram_row_pruning:   Gram products over residual_x/u_rows only
+    analytic_jacobians: bool = False
+    gram_row_pruning: bool = False
     # Forward-rollout scan unroll: the nonlinear rollout is a 20-step
     # sequential scan of tiny per-step work (~5 MFLOP at B=1024), i.e.
     # dispatch-latency-bound — unrolling shortens the dependency chain

@@ -118,7 +118,7 @@ class MSDDP:
         XU = jnp.concatenate([X[:ns], U], axis=1)
         F = jax.vmap(dyn_xu)(XU, p_stage)                       # (ns, nx)
         rho = jax.vmap(rho_xu)(XU, p_stage)                     # (ns, nr)
-        if self.ocp.stage_jacobians is not None:
+        if self.ocp.stage_jacobians is not None and self.opts.analytic_jacobians:
             # closed-form stage linearization (e.g. problems/srbd.py) —
             # replaces nx+nu jacfwd tangent passes per node
             A, B, Jrx, Jru, Jhx, Jhu = jax.vmap(
@@ -291,7 +291,10 @@ class MSDDP:
         # the production shape.
         combined = self.opts.backward_contract == "combined"
         xr, ur = self.ocp.residual_x_rows, self.ocp.residual_u_rows
-        pruned = xr is not None and ur is not None and not combined
+        pruned = (
+            self.opts.gram_row_pruning
+            and xr is not None and ur is not None and not combined
+        )
         if pruned:
             # Gram products over the declared-nonzero row sets only; rows
             # outside a set have identically-zero Jacobian there (enforced

@@ -99,8 +99,12 @@ def test_solver_fast_path_matches_ad_path():
         lambda a: jnp.tile(a[None], (B,) + (1,) * a.ndim), ocp_fast.params
     )
     outs = []
-    for ocp in (ocp_fast, ocp_ad):
-        s = MSDDP(ocp, DDPOptions(max_iters=5))
+    for ocp, opts in (
+        (ocp_fast, DDPOptions(max_iters=5, analytic_jacobians=True,
+                              gram_row_pruning=True)),
+        (ocp_ad, DDPOptions(max_iters=5)),
+    ):
+        s = MSDDP(ocp, opts)
         sols = jax.vmap(s.init)(x0)
         outs.append(s.solve_batch(sols, x0, params))
     np.testing.assert_allclose(
