@@ -1,5 +1,5 @@
 """srbd_horizon_tpu — TPU-native receding-horizon MPC for reduced-model legged
-locomotion (SRBD / LIP), built on JAX / XLA / Pallas / pjit.
+locomotion (SRBD / LIP), built on JAX / XLA / pjit.
 
 A from-scratch re-design of the capabilities of `hucebot/srbd_horizon`
 (reference: /root/reference) for TPU hardware:

@@ -134,9 +134,9 @@ class DDPOptions:
     #   "associative": parallel Riccati via lax.associative_scan — ⌈log₂ ns⌉
     #                  stages of batched (nx×nx) algebra (PAPERS.md:9,
     #                  "The Parallelization of Riccati Recursion")
-    #   "pallas":      (batched solve path only) fused Pallas kernel — the
-    #                  whole sweep in one program with the value function
-    #                  resident in VMEM and double-buffered node streaming
+    # (a third mode, "pallas" — a fused hand-written kernel — was built,
+    # measured 2× slower than XLA's fused lane-major path, and retired in
+    # round 2; see solvers/msddp.py for the roofline rationale)
     riccati_mode: str = "sequential"
     # Lane-major backward tuning (result-equivalent up to f32 rounding):
     #   backward_unroll:   lax.scan unroll factor for the Riccati sweep —
@@ -148,9 +148,18 @@ class DDPOptions:
     #                      [A|B] and evaluates ONE (nr,nz,B) Gram and ONE
     #                      (nx,nz,B) chain contraction per node (fewer,
     #                      larger VPU kernels; computes the symmetric Qxu
-    #                      block redundantly, ~6% more FLOPs)
+    #                      block redundantly, ~6% more FLOPs);
+    #                      "blocksparse" additionally exploits the OCP's
+    #                      declared dynamics sparsity (rows where A−I / B
+    #                      are live — integrator chains make most A rows
+    #                      exactly identity) and residual row sparsity via
+    #                      static contiguous slices: ~2× fewer FLOPs per
+    #                      sweep for SRBD (falls back to "split" when the
+    #                      OCP declares no sparsity). Default: measured
+    #                      8509 vs 5889 solve/s at B=1024 on v5e-lite
+    #                      (tools/bench_backward_variants.py, round 2).
     backward_unroll: int = 1
-    backward_contract: str = "split"
+    backward_contract: str = "blocksparse"
     # Opt-in fast paths (both measured SLOWER than the XLA-AD defaults on
     # TPU v5e-lite at B=1024, tools/bench_linearize_variants.py:
     # analytic −10%, pruning −3% — the solver is fusion/memory-movement
@@ -166,10 +175,6 @@ class DDPOptions:
     # dispatch-latency-bound — unrolling shortens the dependency chain
     # bookkeeping rather than the math
     rollout_unroll: int = 1
-    # Pallas kernel tuning: scenarios per program (lane tile), and
-    # interpreter mode for CPU tests
-    pallas_block_batch: int = 128
-    pallas_interpret: bool = False
     # Forward-pass execution:
     #   "nonlinear": true MS-DDP rollout (sequential in the horizon)
     #   "linear":    affine δx recursion via associative scan (SQP-flavored

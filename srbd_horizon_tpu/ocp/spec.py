@@ -105,6 +105,18 @@ class OCP:
     residual_x_rows: Optional[Any] = None
     residual_u_rows: Optional[Any] = None
 
+    # Optional dynamics-sparsity metadata: indices of rows where (A − I)
+    # (resp. B) of the DISCRETE step Jacobian can be nonzero. Integrator
+    # chains (position ← velocity ← input) make most rows of an Euler A
+    # exactly identity — for SRBD only 22 of 37 rows of A−I and 18 of 37
+    # rows of B are live. The lane-major backward's "blocksparse" mode
+    # contracts the Riccati chain over these row slices only (the rows
+    # form contiguous runs, so this is static slicing, not gathers),
+    # cutting the dominant nx³ terms ~1.7×. Completeness is enforced
+    # against AD by tests/test_analytic_jac.py.
+    dynamics_x_rows: Optional[Any] = None
+    dynamics_u_rows: Optional[Any] = None
+
     # template parameter pytree: dict name -> (ns+1, dim) array
     params: Dict[str, jnp.ndarray] = dataclasses.field(default_factory=dict)
 

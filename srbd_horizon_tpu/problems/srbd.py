@@ -412,6 +412,14 @@ def build_srbd_problem(
             + list(range(21 + 9 * nc, 21 + 9 * nc + 2 * n_legs * (cm - 1) + 3 * nc))
         ),
         residual_u_rows=tuple(range(15, 21 + 9 * nc)),
+        # Euler A−I live rows: ṙ (r rows), ȯ (o rows), ċ (c rows), ẇ (w
+        # rows); rdot/cdot rows are exactly identity (their derivatives are
+        # pure inputs). B live rows: rdot (forces/m), w (torques), cdot
+        # (cddot) — r/o/c rows of B are exactly zero under Euler.
+        dynamics_x_rows=tuple(
+            list(range(0, i_rdot)) + list(range(i_w, i_w + 3))
+        ),
+        dynamics_u_rows=tuple(range(i_rdot, nx_)),
         params=params,
         constants=constants,
     )

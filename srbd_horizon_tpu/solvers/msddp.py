@@ -54,6 +54,35 @@ from srbd_horizon_tpu.math.linalg import (
 from srbd_horizon_tpu.ocp.spec import OCP
 
 
+def _contiguous_runs(rows):
+    """Sorted row indices -> list of (start, stop) contiguous runs.
+    The declared sparsity sets (residual/dynamics rows) are unions of a
+    few contiguous ranges, so row selection compiles to static slices —
+    measured faster than `jnp.take` gathers on TPU."""
+    rows = sorted(int(r) for r in rows)
+    runs = []
+    start = prev = rows[0]
+    for r in rows[1:]:
+        if r == prev + 1:
+            prev = r
+            continue
+        runs.append((start, prev + 1))
+        start = prev = r
+    runs.append((start, prev + 1))
+    return runs
+
+
+def _slice_rows(arr, runs, axis):
+    """Concatenate static contiguous slices of `arr` along `axis`."""
+    if len(runs) == 1:
+        a, b = runs[0]
+        return jax.lax.slice_in_dim(arr, a, b, axis=axis)
+    return jnp.concatenate(
+        [jax.lax.slice_in_dim(arr, a, b, axis=axis) for a, b in runs],
+        axis=axis,
+    )
+
+
 class DDPSolution(NamedTuple):
     """Solver state/result — a pytree. X/U persist across `solve` calls so
     each MPC tick warm-starts from the previous plan, matching the stateful
@@ -179,7 +208,11 @@ class MSDDP:
                 chol = jax.scipy.linalg.cho_factor(Quu)
                 kK = -jax.scipy.linalg.cho_solve(chol, rhs)
             k, K = kK[:, 0], kK[:, 1:]
-            # value recursion
+            # value recursion — full Tassa form. The lane-major hot path
+            # uses the cheaper Schur-complement collapse (Quu k = −Qu);
+            # here, on the AL path, Quu conditioning reaches ~rho (1e8)
+            # and the residual Quu k + Qu is no longer negligible — the
+            # general form keeps the f64 offline solves at AL tolerance.
             Vx_new = Qx + K.T @ Quu @ k + K.T @ Qu + Qux.T @ k
             Vxx_new = Qxx + K.T @ Quu @ K + K.T @ Qux + Qux.T @ K
             Vxx_new = 0.5 * (Vxx_new + Vxx_new.T)
@@ -197,58 +230,16 @@ class MSDDP:
         return ks, Ks, dV1, dV2
 
     # ---------- lane-major batched backward (the TPU hot path) ----------
-
-    def _lanemajor_lq(self, lin):
-        """Transpose the vmapped linearization to lane-major (batch last)
-        and evaluate the GN quadratics for all nodes at once (no carry
-        dependence — only the value propagation stays sequential)."""
-
-        def to_lm(x):  # (B, ns, ...) -> (ns, ..., B)
-            return jnp.moveaxis(x, 0, -1)
-
-        A = to_lm(lin["A"])          # (ns, nx, nx, B)
-        Bm = to_lm(lin["B"])         # (ns, nx, nu, B)
-        Jx = to_lm(lin["Jx"])        # (ns, nr, nx, B)
-        Ju = to_lm(lin["Ju"])        # (ns, nr, nu, B)
-        rho = to_lm(lin["rho"])      # (ns, nr, B)
-        d = to_lm(lin["d"])          # (ns, nx, B)
-        Jt = to_lm(lin["Jt"])        # (nrt, nx, B)
-        rt = to_lm(lin["rt"])        # (nrt, B)
-
-        Vxx_T = 2.0 * lm_matmul_tn(Jt, Jt)       # (nx, nx, B)
-        Vx_T = 2.0 * lm_matvec_tn(Jt, rt)        # (nx, B)
-
-        lx = 2.0 * jnp.sum(Jx * rho[:, :, None, :], axis=1)      # (ns, nx, B)
-        lu = 2.0 * jnp.sum(Ju * rho[:, :, None, :], axis=1)
-        lxx = 2.0 * jnp.sum(Jx[:, :, :, None, :] * Jx[:, :, None, :, :], axis=1)
-        luu = 2.0 * jnp.sum(Ju[:, :, :, None, :] * Ju[:, :, None, :, :], axis=1)
-        lux = 2.0 * jnp.sum(Ju[:, :, :, None, :] * Jx[:, :, None, :, :], axis=1)
-        return A, Bm, lx, lu, lxx, luu, lux, d, Vxx_T, Vx_T
-
-    def _backward_pallas(self, lin, mu):
-        """Fused backward sweep as one Pallas kernel (solvers/
-        pallas_backward.py): value function resident in VMEM, one packed
-        DMA per node, gains streamed out — riccati_mode="pallas"."""
-        from srbd_horizon_tpu.solvers.pallas_backward import (
-            backward_sweep_pallas,
-            pack_node_data,
-        )
-
-        nx, nu = self.ocp.nx, self.ocp.nu
-        A, Bm, lx, lu, lxx, luu, lux, d, Vxx_T, Vx_T = self._lanemajor_lq(lin)
-        packed = pack_node_data(A, Bm, lx, lu, lxx, luu, lux, d)
-        Bsz = packed.shape[-1]
-        bb = min(self.opts.pallas_block_batch, Bsz)
-        ks, Ks, dV1, dV2 = backward_sweep_pallas(
-            packed, Vxx_T, Vx_T, nx=nx, nu=nu, mu=float(self.opts.mu0),
-            block_batch=bb, interpret=self.opts.pallas_interpret,
-        )
-        return (
-            jnp.moveaxis(ks, -1, 0),
-            jnp.moveaxis(Ks, -1, 0),
-            dV1,
-            dV2,
-        )
+    #
+    # A hand-written Pallas kernel for this sweep was built, measured, and
+    # RETIRED in round 2: the XLA lane-major path runs the sweep at
+    # 0.79 TFLOP/s — above the isolated lane-major contraction ceiling
+    # measured on the same shapes (0.46 TFLOP/s, tools/roofline.py),
+    # because XLA's reduce fusions share operand reads across the ~10
+    # per-node contractions. The kernel's VMEM-resident value function
+    # saved HBM traffic that was never the bottleneck (io floor ~1 ms of a
+    # 30 ms sweep) while its unrolled broadcast-FMA chains spilled ~46 MB
+    # (2× slower end-to-end). History: `git log -- solvers/pallas_backward.py`.
 
     def _backward_lanemajor(self, lin, mu):
         """Backward Riccati sweep for a WHOLE BATCH at once, with the batch
@@ -291,9 +282,17 @@ class MSDDP:
         # the production shape.
         combined = self.opts.backward_contract == "combined"
         xr, ur = self.ocp.residual_x_rows, self.ocp.residual_u_rows
+        dxr = self.ocp.dynamics_x_rows
+        dur = self.ocp.dynamics_u_rows
+        blocksparse = (
+            self.opts.backward_contract == "blocksparse"
+            and dxr is not None and dur is not None
+            and xr is not None and ur is not None
+        )
         pruned = (
             self.opts.gram_row_pruning
-            and xr is not None and ur is not None and not combined
+            and xr is not None and ur is not None
+            and not combined and not blocksparse
         )
         if pruned:
             # Gram products over the declared-nonzero row sets only; rows
@@ -309,17 +308,18 @@ class MSDDP:
             iQ = lm_spd_inverse(Quu)
             k = -lm_matvec(iQ, Qu)               # (nu, B)
             K = -lm_matmul(iQ, Qux)              # (nu, nx, B)
-            Quu_k = lm_matvec(Quu, k)
-            KQuu = lm_matmul_tn(K, Quu)          # (nx, nu, B)
-            Vx_new = (
-                Qx + lm_matvec(KQuu, k) + lm_matvec_tn(K, Qu)
-                + lm_matvec_tn(Qux, k)
-            )
-            Vxx_new = Qxx + lm_matmul(KQuu, K) + lm_matmul_tn(K, Qux)
-            Vxx_new = Vxx_new + lm_transpose(lm_matmul_tn(K, Qux))
+            # gains solve the SAME regularized Quu that enters the value
+            # recursion, so Quu k = −Qu exactly and the general Tassa-form
+            # update collapses (KᵀQuuK + KᵀQux + QuxᵀK = QuxᵀK etc.) —
+            # dropping the KᵀQuu(·) products saves ~65k MACs/node:
+            #   Vx⁺  = Qx + Quxᵀk,  Vxx⁺ = Qxx + QuxᵀK,
+            #   ΔV₁ += kᵀQu,        ΔV₂ += ½kᵀQuu k = −½kᵀQu
+            kQu = jnp.sum(k * Qu, axis=0)
+            Vx_new = Qx + lm_matvec_tn(Qux, k)
+            Vxx_new = Qxx + lm_matmul_tn(Qux, K)
             Vxx_new = 0.5 * (Vxx_new + lm_transpose(Vxx_new))
-            dV1_new = dV1 + jnp.sum(k * Qu, axis=0)
-            dV2_new = dV2 + 0.5 * jnp.sum(k * Quu_k, axis=0)
+            dV1_new = dV1 + kQu
+            dV2_new = dV2 - 0.5 * kQu
             return (Vx_new, Vxx_new, dV1_new, dV2_new), (k, K)
 
         def q_terms(carry, A_, B_, lx, lu, lxx, luu, lux, d_):
@@ -334,7 +334,70 @@ class MSDDP:
             Qux = lux + lm_matmul_tn(B_, VA)
             return Qx, Qu, Qxx, Quu, Qux
 
-        if combined:
+        if blocksparse:
+            # Integrator structure: A = I + S with S nonzero only on the
+            # declared dynamics_x_rows (contiguous runs → static slices),
+            # and B nonzero only on dynamics_u_rows. Every chain
+            # contraction then runs over the live rows only:
+            #   VA  = V + V[:,rx] Sx            AᵀM = M + Sxᵀ M[rx]
+            #   Quu = luu + Bsᵀ (V[ru,ru] Bs)   BᵀM = Bsᵀ M[ru]
+            # For SRBD (rx=22, ru=18 of nx=37) this cuts the nx³ q-terms
+            # ~2×; with sliced-row Grams the whole sweep is ~2× fewer
+            # FLOPs than the dense split path. All row selections are
+            # concatenations of static slices — no gathers, no scatters.
+            rx_runs = _contiguous_runs(dxr)
+            ru_runs = _contiguous_runs(dur)
+            gx_runs = _contiguous_runs(xr)
+            gu_runs = _contiguous_runs(ur)
+            both = sorted(set(xr) & set(ur))
+            b_runs = _contiguous_runs(both) if both else None
+            # positions of `both` within the pruned row stacks: the pruned
+            # stacks are concatenations of runs, so positions are runs too
+            xr_l, ur_l = sorted(xr), sorted(ur)
+            bx_runs = (
+                _contiguous_runs([xr_l.index(r) for r in both])
+                if both else None
+            )
+            bu_runs = (
+                _contiguous_runs([ur_l.index(r) for r in both])
+                if both else None
+            )
+            eye_rx = _slice_rows(jnp.eye(nx, dtype=dtype), rx_runs, 0)
+
+            def node(carry, inp):
+                Sx_, Bs_, Jxp_, Jup_, rxp_, rup_, d_ = inp
+                Vx, Vxx = carry[0], carry[1]
+                lx = 2.0 * lm_matvec_tn(Jxp_, rxp_)
+                lu = 2.0 * lm_matvec_tn(Jup_, rup_)
+                lxx = 2.0 * lm_matmul_tn(Jxp_, Jxp_)
+                luu = 2.0 * lm_matmul_tn(Jup_, Jup_)
+                if both:
+                    lux = 2.0 * lm_matmul_tn(
+                        _slice_rows(Jup_, bu_runs, 0),
+                        _slice_rows(Jxp_, bx_runs, 0),
+                    )
+                else:
+                    lux = jnp.zeros((nu, nx, Bsz), dtype)
+                Vx_d = Vx + lm_matvec(Vxx, d_)
+                Qx = lx + Vx_d + lm_matvec_tn(Sx_, _slice_rows(Vx_d, rx_runs, 0))
+                Qu = lu + lm_matvec_tn(Bs_, _slice_rows(Vx_d, ru_runs, 0))
+                VA = Vxx + lm_matmul(_slice_rows(Vxx, rx_runs, 1), Sx_)
+                Qxx = lxx + VA + lm_matmul_tn(Sx_, _slice_rows(VA, rx_runs, 0))
+                V_uu = _slice_rows(_slice_rows(Vxx, ru_runs, 0), ru_runs, 1)
+                Quu = luu + lm_matmul_tn(Bs_, lm_matmul(V_uu, Bs_)) + eye_mu
+                Qux = lux + lm_matmul_tn(Bs_, _slice_rows(VA, ru_runs, 0))
+                return chain(carry, Qx, Qu, Qxx, Quu, Qux)
+
+            xs = (
+                _slice_rows(A, rx_runs, 1) - eye_rx[None, :, :, None],
+                _slice_rows(Bm, ru_runs, 1),
+                _slice_rows(Jx, gx_runs, 1),
+                _slice_rows(Ju, gu_runs, 1),
+                _slice_rows(rho, gx_runs, 1),
+                _slice_rows(rho, gu_runs, 1),
+                d,
+            )
+        elif combined:
             def node(carry, inp):
                 A_, B_, Jx_, Ju_, rho_, d_ = inp
                 Vx_d = carry[0] + lm_matvec(carry[1], d_)
@@ -406,10 +469,7 @@ class MSDDP:
         opts = self.opts
         lin = jax.vmap(self._linearize)(state.X, state.U, params)
         mu = jnp.asarray(opts.mu0, state.X.dtype)
-        if opts.riccati_mode == "pallas":
-            ks, Ks, dV1, dV2 = self._backward_pallas(lin, mu)
-        else:
-            ks, Ks, dV1, dV2 = self._backward_lanemajor(lin, mu)
+        ks, Ks, dV1, dV2 = self._backward_lanemajor(lin, mu)
 
         nu_w = jnp.asarray(opts.defect_weight, state.X.dtype)
         D = jnp.sum(lin["d"] * lin["d"], axis=(1, 2))          # (B,)
@@ -573,7 +633,7 @@ class MSDDP:
         convergence) but with the backward sweep executed lane-major —
         the TPU hot path used by the MPC fleet runtime."""
         if (
-            self.opts.riccati_mode not in ("sequential", "pallas")
+            self.opts.riccati_mode != "sequential"
             or self.opts.forward_pass != "nonlinear"
         ):
             return jax.vmap(self.solve)(sols, x0, params)

@@ -82,6 +82,55 @@ def test_residual_row_sparsity_metadata_complete():
         assert np.all(Ju[not_u] == 0.0)
 
 
+def test_dynamics_row_sparsity_metadata_complete():
+    """Rows NOT in dynamics_x_rows must be exactly identity rows of A
+    (zero rows of A−I); rows NOT in dynamics_u_rows must be zero rows of
+    B — the blocksparse backward contracts over the declared rows only."""
+    cfg = SRBDConfig(dtype=jnp.float64)
+    prob = build_srbd_problem(cfg, kangaroo_line_feet(), dtype=jnp.float64)
+    ocp = prob.ocp
+    assert ocp.dynamics_x_rows is not None and ocp.dynamics_u_rows is not None
+    eye = np.eye(ocp.nx)
+    for seed in range(3):
+        x, u, p = _random_xup(ocp, jax.random.key(20 + seed), jnp.float64)
+        A = np.asarray(jax.jacfwd(lambda x_: ocp.step(x_, u, p, ocp.dt))(x))
+        B = np.asarray(jax.jacfwd(lambda u_: ocp.step(x, u_, p, ocp.dt))(u))
+        not_x = sorted(set(range(ocp.nx)) - set(ocp.dynamics_x_rows))
+        not_u = sorted(set(range(ocp.nx)) - set(ocp.dynamics_u_rows))
+        assert np.all((A - eye)[not_x] == 0.0)
+        assert np.all(B[not_u] == 0.0)
+
+
+def test_blocksparse_backward_matches_split():
+    """solve_batch with backward_contract="blocksparse" reproduces the
+    dense split path (same algebra, reassociated — f64-tight)."""
+    cfg = SRBDConfig(dtype=jnp.float64)
+    prob = build_srbd_problem(cfg, kangaroo_line_feet(), dtype=jnp.float64)
+
+    B = 4
+    x0 = jnp.tile(prob.initial_state[None], (B, 1))
+    x0 = x0.at[:, 0].add(jnp.linspace(-0.02, 0.02, B))
+    x0 = x0.at[:, 19].add(jnp.linspace(0.0, 0.3, B))  # push rdot_x
+    params = jax.tree.map(
+        lambda a: jnp.tile(a[None], (B,) + (1,) * a.ndim), prob.ocp.params
+    )
+    outs = []
+    for contract in ("blocksparse", "split"):
+        s = MSDDP(prob.ocp, DDPOptions(max_iters=5,
+                                       backward_contract=contract))
+        sols = jax.vmap(s.init)(x0)
+        outs.append(s.solve_batch(sols, x0, params))
+    np.testing.assert_allclose(
+        np.asarray(outs[0].cost), np.asarray(outs[1].cost), rtol=1e-9
+    )
+    np.testing.assert_allclose(
+        np.asarray(outs[0].X), np.asarray(outs[1].X), rtol=1e-7, atol=1e-9
+    )
+    assert np.array_equal(
+        np.asarray(outs[0].iterations), np.asarray(outs[1].iterations)
+    )
+
+
 def test_solver_fast_path_matches_ad_path():
     """End-to-end: solve_batch with the analytic linearization equals the
     jacfwd path (same iterates, f64-tight)."""

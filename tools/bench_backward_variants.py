@@ -71,8 +71,8 @@ def bench_variant(batch, contract, unroll, reps=10, roll_unroll=1):
 
 def main(batch=1024, reps=10):
     print(f"device={jax.devices()[0]} batch={batch}")
-    for contract in ("split", "combined"):
-        for unroll in (1, 2, 4):
+    for contract in ("split", "blocksparse"):
+        for unroll in (1, 2):
             bench_variant(batch, contract, unroll, reps)
 
 
