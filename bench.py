@@ -60,10 +60,14 @@ def _measure(batch: int, n_ticks: int, ns: int, max_iters: int,
     prob = build_srbd_problem(cfg, kangaroo_line_feet())
     # online MPC iteration budget: the reference caps online solves at 5
     # iterations (launch/SRBD_kangaroo_line_feet.launch:20)
+    # Serving configuration: bf16 Jacobian FORMATION + f32 Riccati
+    # (linearize_precision) — +6.6% throughput at identical iteration
+    # counts and exactly-zero defects (tools/bench_linearize_dtype.py;
+    # walk-stability coverage in tests/test_linearize_precision.py).
     solver = MSDDP(
         prob.ocp,
         DDPOptions(max_iters=max_iters, alpha_converge_threshold=1e-12,
-                   beta=1e-3),
+                   beta=1e-3, linearize_precision="bf16"),
     )
     wpg = WalkingPatternGenerator.build(c_init_z=0.0, nodes=cfg.ns, dtype=dtype)
     loop = MPCLoop(solver=solver, wpg=wpg, srbd_constants=prob.ocp.constants)

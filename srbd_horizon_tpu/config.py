@@ -170,6 +170,23 @@ class DDPOptions:
     #   gram_row_pruning:   Gram products over residual_x/u_rows only
     analytic_jacobians: bool = False
     gram_row_pruning: bool = False
+    # Linearization arithmetic ("f32" | "bf16"): with "bf16" the stage
+    # Jacobians/residuals are FORMED in bfloat16 (inputs cast down, jacfwd
+    # run under default matmul precision, outputs cast back) while ALL
+    # Riccati/line-search algebra stays f32 — the VERDICT-r1 "bf16-safe
+    # Jacobian formation with f32 Riccati" experiment. Jacobian entries
+    # carry ~4e-3 relative error (8-bit mantissa), which Gauss-Newton
+    # tolerates as an inexact-Newton perturbation (the merit/accept
+    # decisions use exact f32 cost; residuals ρ and defects d are
+    # recomputed exactly in f32, so gradients and the analytic defect
+    # contraction stay exact — only the J·(·) curvature terms are
+    # rounded). Warm-tick A/B on TPU v5e-lite at B=1024
+    # (tools/bench_linearize_dtype.py): 8634 → 9204 solve/s (+6.6%),
+    # same iteration count, max_defect still exactly 0. Default stays
+    # "f32" (the golden-parity suite pins the exact-Jacobian fixed
+    # point); bench.py selects "bf16" as the serving configuration,
+    # backed by tests/test_linearize_precision.py walk-stability checks.
+    linearize_precision: str = "f32"
     # Forward-rollout scan unroll: the nonlinear rollout is a 20-step
     # sequential scan of tiny per-step work (~5 MFLOP at B=1024), i.e.
     # dispatch-latency-bound — unrolling shortens the dependency chain

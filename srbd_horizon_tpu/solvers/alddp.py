@@ -171,7 +171,15 @@ class ALDDP:
             stage_eq=lambda x, u, p: jnp.zeros((0,), x.dtype),
             terminal_eq=lambda x, p: jnp.zeros((0,), x.dtype),
         )
-        object.__setattr__(self, "_inner", MSDDP(inner_ocp, self.ddp_opts))
+        # The inner gain solve must be Cholesky here: at ρ→1e8 the AL
+        # Quu reaches condition ~1e13 and the block-Schur spd_solve (a
+        # TPU-hot-path choice, fine at the 1e6-penalty conditioning of
+        # the plain MS-DDP stack) emits NaNs — every line search then
+        # rejects on isfinite and warm-started online solves silently
+        # no-op (caught by tests/test_isrbd.py::TestISRBDOnline once the
+        # x0 pin made the no-op observable).
+        inner_opts = dataclasses.replace(self.ddp_opts, quu_solver="cholesky")
+        object.__setattr__(self, "_inner", MSDDP(inner_ocp, inner_opts))
 
     # ---------- sizes ----------
 

@@ -134,6 +134,37 @@ class MSDDP:
     # ---------- linearization (vmapped over nodes) ----------
 
     def _linearize(self, X, U, params):
+        if (
+            self.opts.linearize_precision == "bf16"
+            and X.dtype == jnp.float32
+        ):
+            # bf16 Jacobian FORMATION, f32 Riccati: cast the linearization
+            # point down, run the jacfwd stacks under default (bf16-input)
+            # matmul precision, cast the results back. The defects `d` are
+            # recomputed exactly in f32 afterwards — the forward pass
+            # contracts them analytically, so they must match the rollout's
+            # arithmetic, not the Jacobians'.
+            Xl = X.astype(jnp.bfloat16).astype(X.dtype)
+            Ul = U.astype(jnp.bfloat16).astype(U.dtype)
+            pl = {
+                k: v.astype(jnp.bfloat16).astype(v.dtype)
+                for k, v in params.items()
+            }
+            with jax.default_matmul_precision("default"):
+                lin = self._linearize_impl(Xl, Ul, pl)
+            lin = {
+                k: v.astype(jnp.bfloat16).astype(X.dtype)
+                for k, v in lin.items()
+            }
+            lin["d"] = self._true_defects(X, U, params)
+            lin["rho"] = jax.vmap(self._stage_rho)(
+                X[: self.ocp.ns], U,
+                {k: v[: self.ocp.ns] for k, v in params.items()},
+            )
+            return lin
+        return self._linearize_impl(X, U, params)
+
+    def _linearize_impl(self, X, U, params):
         ns, nx, nu = self.ocp.ns, self.ocp.nx, self.ocp.nu
         dt = self.ocp.dt
         p_stage = {k: v[:ns] for k, v in params.items()}
@@ -639,10 +670,12 @@ class MSDDP:
             return jax.vmap(self.solve)(sols, x0, params)
         opts = self.opts
         with jax.default_matmul_precision("highest"):
-            cost0 = jax.vmap(self.total_cost)(sols.X, sols.U, params)
+            # node-0 pin, same rationale as _solve_impl
+            X_pinned = sols.X.at[:, 0].set(x0)
+            cost0 = jax.vmap(self.total_cost)(X_pinned, sols.U, params)
             Bsz = cost0.shape[0]
             state = _IterState(
-                X=sols.X, U=sols.U, cost=cost0,
+                X=X_pinned, U=sols.U, cost=cost0,
                 converged=jnp.zeros((Bsz,), bool),
                 it=jnp.zeros((Bsz,), jnp.int32),
             )
@@ -1077,9 +1110,20 @@ class MSDDP:
 
     def _solve_impl(self, sol: DDPSolution, x0, params) -> DDPSolution:
         opts = self.opts
-        cost0 = self.total_cost(sol.X, sol.U, params)
+        # Pin node 0 to the commanded initial state BEFORE iterating: X₀ is
+        # not a decision variable in multiple shooting, and a warm start
+        # carried over from the previous tick has X₀ = the old state. With
+        # the pin, the x0 gap surfaces as the node-0 defect d₀ =
+        # f(x0,U₀) − X₁ and flows through the merit/defect-contraction
+        # machinery like any other shooting gap. Without it, a lower-cost
+        # stale plan can "win" the line search against every rollout from
+        # the true x0 and be returned as converged while inconsistent with
+        # the actual initial state (caught by tests/test_diff_mpc.py /
+        # test_msddp.py::test_x0_gap_is_a_defect).
+        X_pinned = sol.X.at[0].set(x0)
+        cost0 = self.total_cost(X_pinned, sol.U, params)
         state = _IterState(
-            X=sol.X, U=sol.U, cost=cost0,
+            X=X_pinned, U=sol.U, cost=cost0,
             converged=jnp.asarray(False), it=jnp.asarray(0, jnp.int32),
         )
 

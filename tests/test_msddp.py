@@ -158,3 +158,34 @@ class TestLIPSolve:
         np.testing.assert_allclose(
             np.asarray(sols.X[2]), np.asarray(sol_single.X), atol=1e-6
         )
+
+
+class TestX0Pin:
+    def test_x0_gap_is_a_defect(self):
+        """A warm start whose X disagrees with the commanded x0 must not be
+        returned as 'converged': node 0 is pinned to x0 at solve entry, so
+        the gap surfaces as the node-0 shooting defect and the solver
+        re-solves from the true initial state. Regression: before the pin,
+        a lower-cost stale plan (the unperturbed equilibrium) won the line
+        search against every rollout from the perturbed x0 and the solve
+        was a no-op with X[0] != x0."""
+        cfg = SRBDConfig(dtype=jnp.float64)
+        prob = build_lip_problem(cfg, kangaroo_line_feet())
+        solver = MSDDP(
+            prob.ocp,
+            DDPOptions(max_iters=100, alpha_converge_threshold=1e-12,
+                       beta=1e-3),
+        )
+        x0 = prob.initial_state
+        # equilibrium warm start (zero cost) ...
+        sol = solver.init(x0, U0=jnp.tile(prob.static_input[None],
+                                          (prob.ocp.ns, 1)))
+        # ... but the commanded initial state is elsewhere
+        x0_pert = x0.at[0].add(0.05)
+        out = jax.jit(solver.solve)(sol, x0_pert, prob.ocp.params)
+        np.testing.assert_allclose(
+            np.asarray(out.X[0]), np.asarray(x0_pert), atol=0.0
+        )
+        assert float(out.defect_norm) < 1e-8
+        # the solution genuinely paid for the offset (not the stale plan)
+        assert float(out.cost) > 1.0
