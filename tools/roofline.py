@@ -143,8 +143,8 @@ def device_ceilings(B=1024, nx=37, dtype=jnp.float32, reps=5):
 
 
 def backward_flops(nx, nu, nr, ns, B):
-    """Analytic FLOPs of one lane-major backward sweep (the algebra in
-    msddp._backward_lanemajor, 2 FLOP per multiply-add)."""
+    """Analytic FLOPs of one DENSE lane-major backward sweep (the "split"
+    algebra in msddp._backward_lanemajor, 2 FLOP per multiply-add)."""
     per_node = 0
     # GN quadratics lx, lu, lxx, luu, lux
     per_node += 2 * nr * (nx + nu)                    # lx, lu
@@ -161,6 +161,30 @@ def backward_flops(nx, nu, nr, ns, B):
     per_node += 2 * nu * nu + 2 * nx * nu * nu        # Quu_k, KQuu
     per_node += 6 * nx * nu                           # Vx_new terms
     per_node += 3 * 2 * nx * nu * nx + 2 * nx * nx    # Vxx_new terms
+    return per_node * ns * B
+
+
+def backward_flops_blocksparse(nx, nu, ns, B, rx, ru, gx, gu, nb):
+    """Analytic FLOPs of one BLOCKSPARSE lane-major backward sweep (the
+    default path since round 2; algebra in msddp._backward_lanemajor's
+    blocksparse node). rx/ru = live rows of A−I / B; gx/gu = live residual
+    rows wrt x/u; nb = |gx ∩ gu| (rows live in both, the lux Gram)."""
+    per_node = 0
+    # GN quadratics over live rows only
+    per_node += 2 * gx * nx + 2 * gu * nu                 # lx, lu
+    per_node += 2 * gx * nx * nx + 2 * gu * nu * nu      # lxx, luu
+    per_node += 2 * nb * nu * nx                          # lux
+    # chain with A = I + S (S: rx live rows), B (ru live rows)
+    per_node += 2 * nx * nx + nx                          # Vx_d
+    per_node += 2 * rx * nx + 2 * ru * nu                # Qx, Qu
+    per_node += 2 * nx * rx * nx                          # VA correction
+    per_node += 2 * rx * nx * nx                          # Qxx = VA + S'VA[rx]
+    per_node += 2 * ru * ru * nu + 2 * ru * nu * nu      # Quu = B'(V_uu B)
+    per_node += 2 * ru * nu * nx                          # Qux = B'VA[ru]
+    # Schur-form value recursion (Quu k = −Qu collapse)
+    per_node += 4 * nu**3                                 # block-Schur inverse
+    per_node += 2 * nu * nu + 2 * nu * nu * nx           # k, K
+    per_node += 2 * nu * nx + 2 * nx * nu * nx           # Vx_new, Vxx_new
     return per_node * ns * B
 
 
@@ -222,8 +246,20 @@ def main(batch=1024, reps=20):
 
     print(f"nr (stage residual rows) = {nr}")
 
-    # ---- backward: the dominant phase ----
-    f_bwd = backward_flops(nx, nu, nr, ns, B)
+    # ---- backward ----
+    ocp = prob.ocp
+    if (
+        solver.opts.backward_contract == "blocksparse"
+        and ocp.dynamics_x_rows is not None
+    ):
+        f_bwd = backward_flops_blocksparse(
+            nx, nu, ns, B,
+            rx=len(ocp.dynamics_x_rows), ru=len(ocp.dynamics_u_rows),
+            gx=len(ocp.residual_x_rows), gu=len(ocp.residual_u_rows),
+            nb=len(set(ocp.residual_x_rows) & set(ocp.residual_u_rows)),
+        )
+    else:
+        f_bwd = backward_flops(nx, nu, nr, ns, B)
     io_bwd = tree_bytes(lin) + tree_bytes(bwd_out)
     t_comp = f_bwd / (vpu_lm * 1e12)
     t_mem = io_bwd / (hbm * 1e9)
@@ -251,6 +287,15 @@ def main(batch=1024, reps=20):
     print(f"\nper-iteration fast path: {iter_est*1e3:6.2f} ms "
           f"(lin {100*t_lin/iter_est:.0f}% bwd {100*t_bwd/iter_est:.0f}% "
           f"roll {100*t_roll/iter_est:.0f}% cost {100*t_cost/iter_est:.0f}%)")
+    # sanity: the full solve runs max_iters of all phases — if the isolated
+    # phase sum exceeds it, the isolated timings are artifacts of the
+    # remote-execution path (caching/queuing), not real device times; only
+    # the end-to-end A/B tools are decisive then (tools/bench_opts.py)
+    if iter_est * solver.opts.max_iters > 1.5 * t_solveb:
+        print(f"WARNING: phase-sum x{solver.opts.max_iters} = "
+              f"{iter_est*solver.opts.max_iters*1e3:.1f} ms >> solve_batch "
+              f"{t_solveb*1e3:.1f} ms -> isolated phase timings are NOT "
+              f"trustworthy on this backend; use end-to-end A/B instead")
 
 
 if __name__ == "__main__":
