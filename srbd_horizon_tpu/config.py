@@ -122,6 +122,20 @@ class DDPOptions:
     # fan widens latency by ~width rollouts; deepening fans only run when
     # every candidate of the previous fan was rejected)
     parallel_line_search_width: int = 4
+    # Deepening-fan compaction for the batched path: when >0 and at most
+    # this many members reject the α₀ fast-path trial, the backtracking
+    # fan gathers JUST those members and deepens on the compacted
+    # sub-batch (width × compact lanes instead of width × B) before
+    # scattering the accepted steps back — a handful of hard-pushed
+    # members no longer makes the whole fleet pay the backtracking
+    # rollouts. Falls back to the full-batch fan when more members
+    # reject (cold start) or when B ≤ compact. Member results are
+    # computed by the same per-member arithmetic either way.
+    # 64 (not 128): the compacted gather of the (M, ns, nu, nx) gain
+    # tensor is one fused pad+gather on TPU, and at M=128 its scoped-vmem
+    # stack allocation (17.3 MB) exceeds the 16 MB limit — a Mosaic-free
+    # XLA fusion can still OOM vmem on gather shapes.
+    line_search_compact: int = 64
     # Gain-equation solver for Quu (result-equivalent up to rounding):
     #   "schur":    recursive block-Schur SPD inverse — log-depth batched
     #               matmuls; on TPU the batched Cholesky lowering (a

@@ -543,7 +543,6 @@ class MSDDP:
         # backtracking α candidates if someone rejects it (lax.cond
         # executes exactly one branch at runtime)
         X1, U1, cost1, merit1, ok1 = trial(alphas[0])
-        all_accept = jnp.all(ok1 | ~active)
 
         def no_fan(_):
             return X1, U1, cost1, merit1, ok1
@@ -565,8 +564,19 @@ class MSDDP:
             32.0 * jnp.finfo(state.X.dtype).eps * jnp.maximum(merit0, 1.0),
             opts.cost_reduction_ths * jnp.maximum(merit0, 1.0),
         )
+        # a member that rejected α₀ with expected0 BELOW the noise floor
+        # cannot resolve any reduction at smaller α either (expected(α) is
+        # increasing in α here), so fanning it is pure waste — its
+        # rejection IS the convergence signal. Only members above the
+        # floor enter the fan at all; at serving batch sizes this keeps
+        # the per-iteration wave of just-converging members (which
+        # previously forced one full-batch width-K chunk every iteration)
+        # off the backtracking path entirely.
+        worth0 = expected0 > noise
+        need = active & ~ok1 & worth0
+        all_accept = ~jnp.any(need)
 
-        def fan(_):
+        def run_fan(data):
             # chunked deepening: evaluate width-K fans of ever-smaller α
             # until every active member has an accepted step or α has
             # backtracked past the reference's 1e-12 floor
@@ -577,20 +587,39 @@ class MSDDP:
             # that accepts the full step gets BIT-identical results on
             # the fast path and the fan path (a faulty neighbor flipping
             # the branch cannot perturb healthy members).
+            # `data` carries a (possibly compacted, see `fan`) batch.
+            (x0b, Xb0, Ub0, ksb, Ksb, db, paramsb, costb0, merit0b, Db,
+             dV1b, dV2b, expected0b, noiseb, activeb,
+             X1b, U1b, cost1b, merit1b, ok1b) = data
             n_chunks = -(-opts.max_line_search_steps // K_ls)
+
+            def trial_b(a):
+                Xn, Un = jax.vmap(
+                    lambda x0_, X_, U_, k_, K_, d_, p_: self._rollout(
+                        x0_, X_, U_, k_, K_, d_, p_, a
+                    )
+                )(x0b, Xb0, Ub0, ksb, Ksb, db, paramsb)
+                new_cost = jax.vmap(self.total_cost)(Xn, Un, paramsb)
+                new_merit = new_cost + nu_w * (1.0 - a) ** 2 * Db
+                expected = (
+                    -(a * dV1b + a**2 * dV2b) + (2.0 * a - a**2) * nu_w * Db
+                )
+                ok = (
+                    ((merit0b - new_merit)
+                     >= opts.beta * jnp.maximum(expected, 1e-16))
+                    & jnp.isfinite(new_merit)
+                    & (a >= opts.alpha_converge_threshold)
+                )
+                return Xn, Un, new_cost, new_merit, ok
 
             def cond(s):
                 c, _, _, _, _, found = s
-                unfound = active & ~found
+                unfound = activeb & ~found
                 alpha_c = jnp.asarray(
                     opts.line_search_decrease_factor, state.X.dtype
                 ) ** (c * K_ls).astype(state.X.dtype)
-                worth = expected0 * alpha_c > noise
-                return (
-                    (c < n_chunks)
-                    & jnp.any(unfound)
-                    & ((c == 0) | jnp.any(unfound & worth))
-                )
+                worth = expected0b * alpha_c > noiseb
+                return (c < n_chunks) & jnp.any(unfound & worth)
 
             def body(s):
                 c, Xb, Ub, costb, meritb, found = s
@@ -600,17 +629,17 @@ class MSDDP:
                     opts.line_search_decrease_factor
                     ** (c * K_ls + 1).astype(state.X.dtype)
                 )
-                Xs, Us, costs, merits, oks = jax.vmap(trial)(al)  # (K, B, ..)
-                idx = jnp.argmax(oks, axis=0)                     # (B,)
+                Xs, Us, costs, merits, oks = jax.vmap(trial_b)(al)  # (K, b, ..)
+                idx = jnp.argmax(oks, axis=0)                       # (b,)
 
-                def pick(arr):  # (K, B, ...) -> (B, ...)
+                def pick(arr):  # (K, b, ...) -> (b, ...)
                     return jnp.take_along_axis(
                         arr,
                         idx.reshape((1,) + idx.shape + (1,) * (arr.ndim - 2)),
                         axis=0,
                     )[0]
 
-                hit = jnp.any(oks, axis=0) & ~found               # (B,)
+                hit = jnp.any(oks, axis=0) & ~found                 # (b,)
 
                 def sel(new, old):
                     m = hit.reshape(hit.shape + (1,) * (new.ndim - 1))
@@ -626,20 +655,86 @@ class MSDDP:
                 )
 
             def sel0(new, old):
-                m = ok1.reshape(ok1.shape + (1,) * (new.ndim - 1))
+                m = ok1b.reshape(ok1b.shape + (1,) * (new.ndim - 1))
                 return jnp.where(m, new, old)
 
             init = (
                 jnp.asarray(0, jnp.int32),
-                sel0(X1, state.X), sel0(U1, state.U),
-                jnp.where(ok1, cost1, state.cost),
-                jnp.where(ok1, merit1, merit0),
-                ok1,
+                sel0(X1b, Xb0), sel0(U1b, Ub0),
+                jnp.where(ok1b, cost1b, costb0),
+                jnp.where(ok1b, merit1b, merit0b),
+                ok1b,
             )
             _, Xb, Ub, costb, meritb, found = jax.lax.while_loop(
                 cond, body, init
             )
             return Xb, Ub, costb, meritb, found
+
+        full_data = (
+            x0, state.X, state.U, ks, Ks, lin["d"], params, state.cost,
+            merit0, D, dV1, dV2, expected0, noise, active,
+            X1, U1, cost1, merit1, ok1,
+        )
+        Bsz = state.cost.shape[0]
+        M = opts.line_search_compact
+
+        def fan(_):
+            if not (0 < M < Bsz):
+                return run_fan(full_data)
+
+            def compact(_):
+                # gather ONLY the rejecting members: the deepening fan then
+                # costs width × M lanes instead of width × B — at serving
+                # batch sizes a handful of hard-pushed members no longer
+                # makes the whole fleet pay the backtracking rollouts.
+                # Dead slots (fewer than M rejections) gather row `Bsz`
+                # with mode="fill": activeb=False parks them; scatters of
+                # their (garbage) results are dropped via the
+                # out-of-bounds index.
+                idx = jnp.nonzero(need, size=M, fill_value=Bsz)[0]
+
+                def g(a):
+                    # gather on a FLATTENED trailing axis: a direct 4D
+                    # gather of the (B, ns, nu, nx) gain tensor is one
+                    # fused pad+gather whose (8,128)-tiled stack buffer
+                    # pads nx 37→128 and blows the 16 MB scoped-vmem
+                    # limit at any M; 2D (B, prod) gathers tile cleanly
+                    if a.ndim > 2:
+                        flat = jnp.take(
+                            a.reshape(a.shape[0], -1), idx, axis=0,
+                            mode="fill", fill_value=0,
+                        )
+                        return flat.reshape((M,) + a.shape[1:])
+                    return jnp.take(a, idx, axis=0, mode="fill",
+                                    fill_value=0)
+
+                # dead slots gather fill_value=0 for every leaf, so
+                # activeb=False parks them (cond never considers them) and
+                # ok1b=False keeps their garbage out of the seeds
+                sub = jax.tree.map(g, full_data)
+                Xs, Us, costs, merits, found_s = run_fan(sub)
+
+                def scat(base, vals):
+                    return base.at[idx].set(vals, mode="drop")
+
+                def sel0(new, old):
+                    m = ok1.reshape(ok1.shape + (1,) * (new.ndim - 1))
+                    return jnp.where(m, new, old)
+
+                return (
+                    scat(sel0(X1, state.X), Xs),
+                    scat(sel0(U1, state.U), Us),
+                    scat(jnp.where(ok1, cost1, state.cost), costs),
+                    scat(jnp.where(ok1, merit1, merit0), merits),
+                    scat(ok1, found_s),
+                )
+
+            return jax.lax.cond(
+                jnp.sum(need) <= M,
+                compact,
+                lambda _: run_fan(full_data),
+                None,
+            )
 
         Xn, Un, new_cost, new_merit, accepted = jax.lax.cond(
             all_accept, no_fan, fan, None

@@ -78,3 +78,129 @@ class TestTickBatch:
         np.testing.assert_allclose(
             np.asarray(o_got.x), np.asarray(o_ref.x), rtol=1e-6, atol=1e-7
         )
+
+
+def _atan_ocp(ns=6, dt=0.2):
+    """Minimal OCP whose Gauss-Newton step genuinely OVERSHOOTS: the
+    residual atan(z) has |GN step| = |atan(z)|(1+z²) ≫ |z| away from the
+    origin, so members starting far out reject α₀ and must backtrack —
+    a deterministic fan-engagement scenario (the SRBD GN step is too good:
+    even a 3 m/s push is fixed in one accepted full step)."""
+    from srbd_horizon_tpu.ocp.layout import VarLayout
+    from srbd_horizon_tpu.ocp.spec import OCP
+
+    def xdot(x, u, p):
+        del p
+        return u
+
+    def step(x, u, p, dt_):
+        return x + dt_ * xdot(x, u, p)
+
+    def stage_residual(x, u, p):
+        del p
+        # input cost must be ~free: with a real regularizer the LQR step
+        # is tame and even a far-out member accepts α₀ (no overshoot)
+        return jnp.concatenate([jnp.arctan(x), 0.002 * u])
+
+    def terminal_residual(x, p):
+        del p
+        return jnp.arctan(x)
+
+    return OCP(
+        ns=ns, dt=dt,
+        state_layout=VarLayout([("z", 1)]),
+        input_layout=VarLayout([("u", 1)]),
+        step=step, xdot=xdot,
+        stage_residual=stage_residual, terminal_residual=terminal_residual,
+        params={"dummy": jnp.zeros((ns + 1, 1), jnp.float64)},
+    )
+
+
+class TestFanCompaction:
+    """line_search_compact: with only a few members rejecting α₀, the
+    deepening fan gathers just those members, backtracks on the compacted
+    sub-batch, and scatters the accepted steps back."""
+
+    def _fleet(self):
+        ocp = _atan_ocp()
+        opts = DDPOptions(max_iters=12, alpha_converge_threshold=1e-12,
+                          beta=1e-3)
+        # member 2 starts far out (GN overshoots, must backtrack); the
+        # rest start near the optimum (fast path)
+        x0 = jnp.array([[0.05], [0.1], [8.0], [0.02], [-0.1], [0.08]])
+        params = jax.tree.map(
+            lambda a: jnp.tile(a[None], (6,) + (1,) * a.ndim), ocp.params
+        )
+        return ocp, opts, x0, params
+
+    def test_fan_engages_for_a_strict_subset(self):
+        """White-box probe of the first iteration: exactly the far-out
+        member rejects α₀ with an above-noise predicted reduction — the
+        precondition for the compact branch to run inside solve_batch."""
+        from srbd_horizon_tpu.solvers.msddp import _IterState
+
+        ocp, opts, x0, params = self._fleet()
+        solver = MSDDP(ocp, opts)
+        with jax.default_matmul_precision("highest"):
+            sols = jax.vmap(solver.init)(x0)
+            st = _IterState(
+                X=sols.X, U=sols.U,
+                cost=jax.vmap(solver.total_cost)(sols.X, sols.U, params),
+                converged=jnp.zeros((6,), bool),
+                it=jnp.zeros((6,), jnp.int32),
+            )
+            lin = jax.vmap(solver._linearize)(st.X, st.U, params)
+            ks, Ks, dV1, dV2 = solver._backward_lanemajor(
+                lin, jnp.asarray(opts.mu0, jnp.float64)
+            )
+            nu_w = jnp.asarray(opts.defect_weight, jnp.float64)
+            D = jnp.sum(lin["d"] * lin["d"], axis=(1, 2))
+            merit0 = st.cost + nu_w * D
+            Xn, Un = jax.vmap(
+                lambda a, b, c, d, e, f, g: solver._rollout(
+                    a, b, c, d, e, f, g, jnp.asarray(1.0, jnp.float64)
+                )
+            )(x0, st.X, st.U, ks, Ks, lin["d"], params)
+            new_merit = jax.vmap(solver.total_cost)(Xn, Un, params)
+            expected0 = -(dV1 + dV2) + nu_w * D
+            ok1 = (merit0 - new_merit) >= opts.beta * jnp.maximum(
+                expected0, 1e-16
+            )
+            noise = jnp.maximum(
+                32.0 * jnp.finfo(jnp.float64).eps * jnp.maximum(merit0, 1.0),
+                opts.cost_reduction_ths * jnp.maximum(merit0, 1.0),
+            )
+            need = np.asarray(~ok1 & (expected0 > noise))
+        assert need[2], "far-out member must reject the full GN step"
+        assert need.sum() < 6, "fast-path members must accept α₀"
+
+    def test_compacted_fan_matches_full_fan_and_vmap(self):
+        import dataclasses
+
+        ocp, opts, x0, params = self._fleet()
+        full = MSDDP(ocp, dataclasses.replace(opts, line_search_compact=0))
+        comp = MSDDP(ocp, dataclasses.replace(opts, line_search_compact=2))
+        sols = jax.vmap(full.init)(x0)
+
+        out_f = jax.jit(full.solve_batch)(sols, x0, params)
+        out_c = jax.jit(comp.solve_batch)(sols, x0, params)
+        ref = jax.vmap(comp.solve)(sols, x0, params)
+
+        # every member converged near the origin (the far-out one REQUIRED
+        # backtracking to get there — see the probe test)
+        assert np.abs(np.asarray(out_c.X[:, -1, 0])).max() < 0.2
+        np.testing.assert_allclose(
+            np.asarray(out_c.X), np.asarray(out_f.X), rtol=1e-7, atol=1e-9
+        )
+        np.testing.assert_allclose(
+            np.asarray(out_c.X), np.asarray(ref.X), rtol=1e-6, atol=1e-8
+        )
+        np.testing.assert_array_equal(
+            np.asarray(out_c.converged), np.asarray(out_f.converged)
+        )
+        # fast-path members are BIT-identical between compact and full fan
+        # (the compacted fan cannot perturb members it did not gather)
+        for i in (0, 1, 3, 4, 5):
+            np.testing.assert_array_equal(
+                np.asarray(out_c.X[i]), np.asarray(out_f.X[i])
+            )

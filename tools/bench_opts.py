@@ -37,7 +37,7 @@ def parse_overrides(spec: str) -> dict:
     return out
 
 
-def bench_variant(batch, overrides, reps, base_opts):
+def bench_variant(batch, overrides, reps, base_opts, noise=0.0):
     from srbd_horizon_tpu.config import DDPOptions, SRBDConfig
     from srbd_horizon_tpu.models.kangaroo import kangaroo_line_feet
     from srbd_horizon_tpu.problems.srbd import build_srbd_problem
@@ -54,6 +54,13 @@ def bench_variant(batch, overrides, reps, base_opts):
 
     B = batch
     x0 = jnp.tile(prob.initial_state[None], (B, 1))
+    if noise:
+        # heterogeneous fleet (bench.py's canonical workload): members at
+        # different states converge at different iterations, exercising
+        # the line-search fan/convergence paths a homogeneous fleet never
+        # touches
+        x0 = x0 + noise * jax.random.normal(jax.random.key(0), x0.shape,
+                                            dtype)
     carries = jax.vmap(loop.init)(x0)
     vtick = jax.jit(loop.tick_batch)
     inp = TickInput(
@@ -86,11 +93,15 @@ def main():
                     help="DDPOptions overrides, e.g. 'linearize_fused=True'")
     ap.add_argument("--batch", type=int, default=1024)
     ap.add_argument("--reps", type=int, default=10)
+    ap.add_argument("--noise", type=float, default=0.0,
+                    help="x0 perturbation stddev (0.005 = bench.py fleet)")
     args = ap.parse_args()
     base = dict(max_iters=5, alpha_converge_threshold=1e-12, beta=1e-3)
-    print(f"device={jax.devices()[0]} batch={args.batch} base={base}")
+    print(f"device={jax.devices()[0]} batch={args.batch} "
+          f"noise={args.noise} base={base}")
     for spec in args.variants:
-        bench_variant(args.batch, parse_overrides(spec), args.reps, base)
+        bench_variant(args.batch, parse_overrides(spec), args.reps, base,
+                      noise=args.noise)
 
 
 if __name__ == "__main__":
