@@ -62,14 +62,16 @@ def _measure(batch: int, n_ticks: int, ns: int, max_iters: int,
     prob = build_srbd_problem(cfg, kangaroo_line_feet())
     # online MPC iteration budget: the reference caps online solves at 5
     # iterations (launch/SRBD_kangaroo_line_feet.launch:20)
-    # Serving configuration: bf16 Jacobian FORMATION + f32 Riccati
-    # (linearize_precision) — +6.6% throughput at identical iteration
-    # counts and exactly-zero defects (tools/bench_linearize_dtype.py;
-    # walk-stability coverage in tests/test_linearize_precision.py).
+    # Serving configuration: plain f32 with the (default) sliced
+    # linearization. bf16 Jacobian formation was the serving config while
+    # dense Jacobians made linearize bandwidth-bound (+6.6%,
+    # tools/bench_linearize_dtype.py); with linearize_sliced the dead
+    # rows are never materialized and f32 is FASTER than bf16 formation
+    # (11986 vs 11344 solve/s at B=4096 — tools/bench_opts.py, round 2c).
     solver = MSDDP(
         prob.ocp,
         DDPOptions(max_iters=max_iters, alpha_converge_threshold=1e-12,
-                   beta=1e-3, linearize_precision="bf16"),
+                   beta=1e-3),
     )
     wpg = WalkingPatternGenerator.build(c_init_z=0.0, nodes=cfg.ns, dtype=dtype)
     loop = MPCLoop(solver=solver, wpg=wpg, srbd_constants=prob.ocp.constants)

@@ -184,6 +184,29 @@ class DDPOptions:
     #   gram_row_pruning:   Gram products over residual_x/u_rows only
     analytic_jacobians: bool = False
     gram_row_pruning: bool = False
+    # Sliced linearization (batched path + blocksparse backward only):
+    # form ONLY the Jacobian rows the blocksparse backward reads — split
+    # jacfwd per argument (x-rows wrt x, u-rows wrt u) emitting the sliced
+    # stacks (Sx = (A−I)[live], Bs = B[live], Jxp/Jup = residual row
+    # blocks) directly, instead of forming dense A/B/Jx/Ju and slicing in
+    # the backward. For SRBD this roughly halves the Jacobian bytes
+    # written by linearize and read back by the backward (6710 → 3512
+    # floats/node) and skips the dead-row tangent arithmetic. Falls back
+    # to the dense path when the OCP declares no sparsity. Results are
+    # bit-identical to the dense path on CPU f64 and ≤1e-7 at f32 (each
+    # one-hot jacfwd tangent runs the same arithmetic; the test suite
+    # asserts solve-level equivalence), so it is safe as the default.
+    # Measured on TPU v5e-lite, B=4096 heterogeneous fleet
+    # (tools/bench_opts.py --noise 0.005): 9363 → 11986 solve/s (+28%)
+    # at f32; also makes bf16 Jacobian formation obsolete (f32+sliced
+    # 11986 > bf16+sliced 11344 — the formation is no longer the
+    # bandwidth bottleneck once dead rows are never materialized).
+    linearize_sliced: bool = True
+    # With the sliced linearize: emit the Jacobian stacks LANE-MAJOR
+    # (vmap out_axes=-1) so the backward scan consumes them without its
+    # own transpose round-trip (scan xs must be materialized, so the
+    # moveaxis copies are real HBM traffic). Experimental A/B knob.
+    linearize_lane_out: bool = False
     # Linearization arithmetic ("f32" | "bf16"): with "bf16" the stage
     # Jacobians/residuals are FORMED in bfloat16 (inputs cast down, jacfwd
     # run under default matmul precision, outputs cast back) while ALL

@@ -133,7 +133,7 @@ class MSDDP:
 
     # ---------- linearization (vmapped over nodes) ----------
 
-    def _linearize(self, X, U, params):
+    def _linearize(self, X, U, params, sliced=False):
         if (
             self.opts.linearize_precision == "bf16"
             and X.dtype == jnp.float32
@@ -151,7 +151,7 @@ class MSDDP:
                 for k, v in params.items()
             }
             with jax.default_matmul_precision("default"):
-                lin = self._linearize_impl(Xl, Ul, pl)
+                lin = self._linearize_impl(Xl, Ul, pl, sliced=sliced)
             lin = {
                 k: v.astype(jnp.bfloat16).astype(X.dtype)
                 for k, v in lin.items()
@@ -162,12 +162,15 @@ class MSDDP:
                 {k: v[: self.ocp.ns] for k, v in params.items()},
             )
             return lin
-        return self._linearize_impl(X, U, params)
+        return self._linearize_impl(X, U, params, sliced=sliced)
 
-    def _linearize_impl(self, X, U, params):
+    def _linearize_impl(self, X, U, params, sliced=False):
         ns, nx, nu = self.ocp.ns, self.ocp.nx, self.ocp.nu
         dt = self.ocp.dt
         p_stage = {k: v[:ns] for k, v in params.items()}
+
+        if sliced:
+            return self._linearize_sliced(X, U, params)
 
         def dyn_xu(xu, p):
             return self.ocp.step(xu[:nx], xu[nx:], p, dt)
@@ -208,6 +211,53 @@ class MSDDP:
 
         defects = F - X[1:]                                     # (ns, nx)
         return dict(A=A, B=B, Jx=Jx, Ju=Ju, rho=rho, rt=rt, Jt=Jt, d=defects)
+
+    def _linearize_sliced(self, X, U, params):
+        """Linearization emitting ONLY the rows the blocksparse backward
+        reads (opts.linearize_sliced): split jacfwd per argument — the
+        x-dependent output rows wrt x and the u-dependent rows wrt u.
+        Rows outside the declared sets are identically zero (A−I, B) or
+        have zero Jacobian there (residuals) — the same contract the
+        blocksparse backward already relies on, enforced by
+        tests/test_analytic_jac.py. Each one-hot jacfwd tangent produces
+        the same arithmetic as the dense path, so entries are bit-identical
+        to slicing the dense Jacobians."""
+        ns, nx = self.ocp.ns, self.ocp.nx
+        dt = self.ocp.dt
+        p_stage = {k: v[:ns] for k, v in params.items()}
+        rx_runs = _contiguous_runs(self.ocp.dynamics_x_rows)
+        ru_runs = _contiguous_runs(self.ocp.dynamics_u_rows)
+        gx_runs = _contiguous_runs(self.ocp.residual_x_rows)
+        gu_runs = _contiguous_runs(self.ocp.residual_u_rows)
+
+        def f_x(x, u, p):
+            return _slice_rows(self.ocp.step(x, u, p, dt), rx_runs, 0)
+
+        def f_u(x, u, p):
+            return _slice_rows(self.ocp.step(x, u, p, dt), ru_runs, 0)
+
+        def rho_x(x, u, p):
+            return _slice_rows(self._stage_rho(x, u, p), gx_runs, 0)
+
+        def rho_u(x, u, p):
+            return _slice_rows(self._stage_rho(x, u, p), gu_runs, 0)
+
+        Xs = X[:ns]
+        F = jax.vmap(lambda x, u, p: self.ocp.step(x, u, p, dt))(
+            Xs, U, p_stage
+        )
+        rho = jax.vmap(self._stage_rho)(Xs, U, p_stage)
+        eye_rx = _slice_rows(jnp.eye(nx, dtype=X.dtype), rx_runs, 0)
+        Sx = jax.vmap(jax.jacfwd(f_x, argnums=0))(Xs, U, p_stage) - eye_rx
+        Bs = jax.vmap(jax.jacfwd(f_u, argnums=1))(Xs, U, p_stage)
+        Jxp = jax.vmap(jax.jacfwd(rho_x, argnums=0))(Xs, U, p_stage)
+        Jup = jax.vmap(jax.jacfwd(rho_u, argnums=1))(Xs, U, p_stage)
+
+        p_term = {k: v[ns] for k, v in params.items()}
+        rt = self.ocp.terminal_residual(X[ns], p_term)
+        Jt = jax.jacfwd(self.ocp.terminal_residual)(X[ns], p_term)
+        return dict(Sx=Sx, Bs=Bs, Jxp=Jxp, Jup=Jup, rho=rho, rt=rt, Jt=Jt,
+                    d=F - X[1:])
 
     # ---------- backward Riccati sweep (reverse scan) ----------
 
@@ -277,7 +327,7 @@ class MSDDP:
     # 30 ms sweep) while its unrolled broadcast-FMA chains spilled ~46 MB
     # (2× slower end-to-end). History: `git log -- solvers/pallas_backward.py`.
 
-    def _backward_lanemajor(self, lin, mu):
+    def _backward_lanemajor(self, lin, mu, lin_lane_major=False):
         """Backward Riccati sweep for a WHOLE BATCH at once, with the batch
         on the minor (lane) dimension.
 
@@ -294,18 +344,25 @@ class MSDDP:
         def to_lm(x):  # (B, ns, ...) -> (ns, ..., B)
             return jnp.moveaxis(x, 0, -1)
 
-        A = to_lm(lin["A"])
-        Bm = to_lm(lin["B"])
-        Jx = to_lm(lin["Jx"])
-        Ju = to_lm(lin["Ju"])
-        rho = to_lm(lin["rho"])
+        sliced_lin = "Sx" in lin  # opts.linearize_sliced emission
+        if not sliced_lin:
+            A = to_lm(lin["A"])
+            Bm = to_lm(lin["B"])
+            Jx = to_lm(lin["Jx"])
+            Ju = to_lm(lin["Ju"])
+        if lin_lane_major:
+            # everything but d already emitted lane-major (vmap
+            # out_axes=-1 in _iteration_batch)
+            rho, Jt, rt = lin["rho"], lin["Jt"], lin["rt"]
+        else:
+            rho = to_lm(lin["rho"])
+            Jt = to_lm(lin["Jt"])
+            rt = to_lm(lin["rt"])
         d = to_lm(lin["d"])
-        Jt = to_lm(lin["Jt"])
-        rt = to_lm(lin["rt"])
         Vxx_T = 2.0 * lm_matmul_tn(Jt, Jt)
         Vx_T = 2.0 * lm_matvec_tn(Jt, rt)
 
-        Bsz = lin["rho"].shape[0]
+        Bsz = lin["d"].shape[0]
         eye_mu = mu * jnp.eye(nu, dtype=dtype)[:, :, None]
         zero = jnp.zeros((Bsz,), dtype)
 
@@ -320,7 +377,7 @@ class MSDDP:
         xr, ur = self.ocp.residual_x_rows, self.ocp.residual_u_rows
         dxr = self.ocp.dynamics_x_rows
         dur = self.ocp.dynamics_u_rows
-        blocksparse = (
+        blocksparse = sliced_lin or (
             self.opts.backward_contract == "blocksparse"
             and dxr is not None and dur is not None
             and xr is not None and ur is not None
@@ -424,15 +481,26 @@ class MSDDP:
                 Qux = lux + lm_matmul_tn(Bs_, _slice_rows(VA, ru_runs, 0))
                 return chain(carry, Qx, Qu, Qxx, Quu, Qux)
 
-            xs = (
-                _slice_rows(A, rx_runs, 1) - eye_rx[None, :, :, None],
-                _slice_rows(Bm, ru_runs, 1),
-                _slice_rows(Jx, gx_runs, 1),
-                _slice_rows(Ju, gu_runs, 1),
-                _slice_rows(rho, gx_runs, 1),
-                _slice_rows(rho, gu_runs, 1),
-                d,
-            )
+            if sliced_lin:
+                # linearize already emitted exactly these operands
+                lm = (lambda x: x) if lin_lane_major else to_lm
+                xs = (
+                    lm(lin["Sx"]), lm(lin["Bs"]),
+                    lm(lin["Jxp"]), lm(lin["Jup"]),
+                    _slice_rows(rho, gx_runs, 1),
+                    _slice_rows(rho, gu_runs, 1),
+                    d,
+                )
+            else:
+                xs = (
+                    _slice_rows(A, rx_runs, 1) - eye_rx[None, :, :, None],
+                    _slice_rows(Bm, ru_runs, 1),
+                    _slice_rows(Jx, gx_runs, 1),
+                    _slice_rows(Ju, gu_runs, 1),
+                    _slice_rows(rho, gx_runs, 1),
+                    _slice_rows(rho, gu_runs, 1),
+                    d,
+                )
         elif combined:
             def node(carry, inp):
                 A_, B_, Jx_, Ju_, rho_, d_ = inp
@@ -503,9 +571,35 @@ class MSDDP:
         rollouts, lane-major backward, per-member α selection and masked
         updates (mirrors vmap(solve) semantics member-for-member)."""
         opts = self.opts
-        lin = jax.vmap(self._linearize)(state.X, state.U, params)
+        sliced = (
+            opts.linearize_sliced
+            and opts.backward_contract == "blocksparse"
+            and not opts.analytic_jacobians
+            and self.ocp.dynamics_x_rows is not None
+            and self.ocp.dynamics_u_rows is not None
+            and self.ocp.residual_x_rows is not None
+            and self.ocp.residual_u_rows is not None
+        )
+        lane_out = sliced and opts.linearize_lane_out
+        if lane_out:
+            # emit the backward's operands lane-major straight out of the
+            # vmap (out_axes=-1) — the scan consumes them as-is, skipping
+            # the moveaxis copies; d stays batch-first (rollout/merit and
+            # the fan compaction gather consume it per-member)
+            out_axes = dict(Sx=-1, Bs=-1, Jxp=-1, Jup=-1, rho=-1,
+                            rt=-1, Jt=-1, d=0)
+            lin = jax.vmap(
+                lambda x, u, p: self._linearize(x, u, p, sliced=True),
+                out_axes=out_axes,
+            )(state.X, state.U, params)
+        else:
+            lin = jax.vmap(
+                lambda x, u, p: self._linearize(x, u, p, sliced=sliced)
+            )(state.X, state.U, params)
         mu = jnp.asarray(opts.mu0, state.X.dtype)
-        ks, Ks, dV1, dV2 = self._backward_lanemajor(lin, mu)
+        ks, Ks, dV1, dV2 = self._backward_lanemajor(
+            lin, mu, lin_lane_major=lane_out
+        )
 
         nu_w = jnp.asarray(opts.defect_weight, state.X.dtype)
         D = jnp.sum(lin["d"] * lin["d"], axis=(1, 2))          # (B,)

@@ -116,6 +116,38 @@ def _atan_ocp(ns=6, dt=0.2):
     )
 
 
+class TestSlicedLinearize:
+    """linearize_sliced: split-argnum jacfwd emitting only the declared
+    live Jacobian rows must reproduce the dense path's solve exactly (each
+    one-hot tangent runs the same arithmetic; rows outside the declared
+    sets are identically zero — the blocksparse backward's contract)."""
+
+    def test_matches_dense_on_srbd(self):
+        import dataclasses
+
+        _, prob, base, x0, params = _setup()
+        solver = MSDDP(
+            prob.ocp,
+            dataclasses.replace(base.opts, linearize_sliced=False),
+        )
+        sli = MSDDP(
+            prob.ocp,
+            dataclasses.replace(base.opts, linearize_sliced=True),
+        )
+        sols0 = jax.vmap(solver.init)(x0)
+        dense = jax.jit(solver.solve_batch)(sols0, x0, params)
+        got = jax.jit(sli.solve_batch)(sols0, x0, params)
+        np.testing.assert_allclose(
+            np.asarray(got.X), np.asarray(dense.X), rtol=1e-12, atol=1e-13
+        )
+        np.testing.assert_allclose(
+            np.asarray(got.U), np.asarray(dense.U), rtol=1e-12, atol=1e-13
+        )
+        np.testing.assert_array_equal(
+            np.asarray(got.iterations), np.asarray(dense.iterations)
+        )
+
+
 class TestFanCompaction:
     """line_search_compact: with only a few members rejecting α₀, the
     deepening fan gathers just those members, backtracks on the compacted
