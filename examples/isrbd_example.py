@@ -36,7 +36,12 @@ def main():
         ddp_opts=DDPOptions(
             max_iters=15, alpha_converge_threshold=1e-12, beta=1e-3
         ),
-        al_opts=ALOptions(outer_iters=6, rho0=1e3),
+        # ρ capped at the f32-safe 1e5: with the scaled equality stack
+        # (ocp/spec.py::OCP.eq_scale) the AL converges there, and the f32
+        # violation trace matches f64 tick for tick — so the same config
+        # serves both the f64 CPU run and f32 TPU fleet serving
+        # (solvers/options.py::al_serving_options).
+        al_opts=ALOptions(outer_iters=6, rho0=1e3, rho_max=1e5),
     )
 
     # offline seed solve (isrbd_example.py:361-369)

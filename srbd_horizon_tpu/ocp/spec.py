@@ -75,6 +75,21 @@ class OCP:
     ineq_lb: Optional[jnp.ndarray] = None
     ineq_ub: Optional[jnp.ndarray] = None
 
+    # Optional per-row equality-constraint scaling, (n_eq,) / (n_eq_T,).
+    # The constraint stacks of a whole-body OCP mix units — Newton–Euler
+    # rows are in newtons (O(m·g) ≈ 400) while contact-height rows are in
+    # meters (O(1e-2)) — so one penalty ρ is simultaneously ~1e5× too
+    # stiff for the force rows and too soft for the geometric rows. The
+    # AL solver (solvers/alddp.py) works on the SCALED stack S·h:
+    # residuals, multipliers, violations, and the ρ-growth schedule all
+    # live in scaled (comparable-unit) space. This is what lets the AL
+    # path run in float32 on TPU: the unscaled stack needs ρ→1e8 (Quu
+    # condition ~1e13, f64-only) where the scaled stack converges at
+    # ρ≤1e5. (The reference inherits the same role from IPOPT's internal
+    # NLP scaling.) None = unscaled (all ones).
+    eq_scale: Optional[jnp.ndarray] = None
+    eq_scale_T: Optional[jnp.ndarray] = None
+
     # node-indexed variable box bounds (isrbd_example.py:188-221,425-431):
     # x bounds are (ns+1, nx), u bounds (ns, nu); None = unbounded.
     x_lb: Optional[jnp.ndarray] = None

@@ -190,6 +190,18 @@ def build_isrbd_problem(
         res.append(p["mask_lipzone"][0] * s["w"])
         return jnp.concatenate(res)
 
+    # Equality-row scaling (ocp/spec.py::OCP.eq_scale): the NE and LIP
+    # dynamics rows are in newtons / newton-meters (O(m·g) ≈ 400) while
+    # every other row is meters / m/s / rad/s (O(1)). Scaling the force
+    # rows by 1/(m·g) puts the whole stack in comparable units — the AL
+    # solver then converges at f32-safe penalties (ρ ≤ 1e5) instead of
+    # needing ρ→1e8 (f64-only); see solvers/alddp.py. Row order follows
+    # stage_eq below: rel-vel pairs, cz, NE (6), LIP (3), lipzone (4).
+    n_relvel = cfg.number_of_legs * (cm - 1) * 2
+    eq_scale = np.ones(n_relvel + nc + 6 + 3 + 4)
+    eq_scale[n_relvel + nc : n_relvel + nc + 9] = 1.0 / (m * 9.81)
+    eq_scale = jnp.asarray(eq_scale, dtype)
+
     # inequalities: friction cones (active!, isrbd:316-318)
     A_fc = jnp.asarray(
         linearized_friction_cone_rows(cfg.friction_cone_coefficient), dtype
@@ -259,6 +271,7 @@ def build_isrbd_problem(
         stage_eq=stage_eq,
         terminal_eq=terminal_eq,
         stage_ineq=stage_ineq,
+        eq_scale=eq_scale,
         ineq_lb=ineq_lb,
         ineq_ub=ineq_ub,
         x_lb=x_lb,

@@ -108,6 +108,23 @@ class ALDDP:
         object.__setattr__(self, "_has_xb", has_xb)
         object.__setattr__(self, "_has_ub", has_ub)
 
+        # Equality stacks in SCALED space (ocp.eq_scale): the entire AL
+        # machinery below — residual terms, multipliers, violations, the
+        # ρ-growth schedule — sees S·h. See the rationale at
+        # ocp/spec.py::OCP.eq_scale.
+        if outer.eq_scale is not None:
+            sc = jnp.asarray(outer.eq_scale)
+            stage_eq = lambda x, u, p: sc * outer.stage_eq(x, u, p)
+        else:
+            stage_eq = outer.stage_eq
+        if outer.eq_scale_T is not None:
+            sc_T = jnp.asarray(outer.eq_scale_T)
+            terminal_eq = lambda x, p: sc_T * outer.terminal_eq(x, p)
+        else:
+            terminal_eq = outer.terminal_eq
+        object.__setattr__(self, "_stage_eq", stage_eq)
+        object.__setattr__(self, "_terminal_eq", terminal_eq)
+
         # normalized (∞-defaulted) bound arrays
         def _norm(b, shape, sign):
             if b is not None:
@@ -125,7 +142,7 @@ class ALDDP:
 
         def stage_residual(x, u, p):
             r = outer.stage_residual(x, u, p)
-            h = outer.stage_eq(x, u, p)
+            h = stage_eq(x, u, p)
             rho = p["al_rho"][0]
             sr = jnp.sqrt(rho)
             terms = [r, sr * h + p["al_lam_eq"] / sr]
@@ -152,7 +169,7 @@ class ALDDP:
 
         def terminal_residual(x, p):
             r = outer.terminal_residual(x, p)
-            hT = outer.terminal_eq(x, p)
+            hT = terminal_eq(x, p)
             rho = p["al_rho"][0]
             sr = jnp.sqrt(rho)
             terms = [r, sr * hT + p["al_lam_eq_T"] / sr]
@@ -227,9 +244,9 @@ class ALDDP:
         ocp = self.ocp
         ns = ocp.ns
         p_stage = {k: v[:ns] for k, v in params.items()}
-        h = jax.vmap(ocp.stage_eq)(X[:ns], U, p_stage)          # (ns, n_eq)
+        h = jax.vmap(self._stage_eq)(X[:ns], U, p_stage)        # (ns, n_eq)
         p_term = {k: v[ns] for k, v in params.items()}
-        hT = ocp.terminal_eq(X[ns], p_term)
+        hT = self._terminal_eq(X[ns], p_term)
         if ocp.ineq_ub is not None:
             g = jax.vmap(ocp.stage_ineq)(X[:ns], U, p_stage)    # (ns, n_in)
             ub_v = jnp.where(

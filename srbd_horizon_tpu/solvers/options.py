@@ -70,3 +70,21 @@ def sqp_online_solver_options(max_iterations: int = 1) -> tuple[DDPOptions, ALOp
         DDPOptions(max_iters=max_iterations, beta=1e-4),
         ALOptions(outer_iters=1, rho0=1e3),
     )
+
+
+def al_serving_options(max_iters: int = 15) -> tuple[DDPOptions, ALOptions]:
+    """float32 TPU serving configuration for the constrained (AL) path.
+
+    With the equality stack in scaled units (ocp/spec.py::OCP.eq_scale)
+    the AL schedule converges at ρ ≤ 1e5, where float32 Cholesky is
+    exact enough that the walking-MPC violation trace matches float64
+    tick for tick (measured identical to 4 digits over 30 online ticks;
+    without scaling f32 needs ρ capped at 1e4 and plateaus ~5× worse,
+    and at the unscaled default ρ→1e8 it diverges). Use for fleet-scale
+    constrained MPC on TPU; the f64 CPU path can keep the defaults."""
+    return (
+        DDPOptions(
+            max_iters=max_iters, alpha_converge_threshold=1e-12, beta=1e-3
+        ),
+        ALOptions(outer_iters=6, rho0=1e3, rho_max=1e5, tol=1e-5),
+    )

@@ -147,6 +147,32 @@ class TestSlicedLinearize:
             np.asarray(got.iterations), np.asarray(dense.iterations)
         )
 
+    def test_lane_out_matches(self):
+        """linearize_lane_out emits the sliced stacks lane-major straight
+        out of the vmap; pure layout change — the solve must be
+        bit-identical to the batch-first sliced emission."""
+        import dataclasses
+
+        _, prob, base, x0, params = _setup()
+        sli = MSDDP(
+            prob.ocp,
+            dataclasses.replace(base.opts, linearize_sliced=True),
+        )
+        lane = MSDDP(
+            prob.ocp,
+            dataclasses.replace(
+                base.opts, linearize_sliced=True, linearize_lane_out=True
+            ),
+        )
+        sols0 = jax.vmap(sli.init)(x0)
+        ref = jax.jit(sli.solve_batch)(sols0, x0, params)
+        got = jax.jit(lane.solve_batch)(sols0, x0, params)
+        np.testing.assert_array_equal(np.asarray(got.X), np.asarray(ref.X))
+        np.testing.assert_array_equal(np.asarray(got.U), np.asarray(ref.U))
+        np.testing.assert_array_equal(
+            np.asarray(got.iterations), np.asarray(ref.iterations)
+        )
+
 
 class TestFanCompaction:
     """line_search_compact: with only a few members rejecting α₀, the

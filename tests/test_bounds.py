@@ -173,7 +173,12 @@ class TestISRBDContactVelocityBound:
             prob.ocp,
             ddp_opts=DDPOptions(max_iters=40, alpha_converge_threshold=1e-12,
                                 beta=1e-3, cost_reduction_ths=1e-10),
-            al_opts=ALOptions(outer_iters=8, rho0=1e3, rho_growth=4.0,
+            # 12 outers: with the scaled equality stack (OCP.eq_scale) the
+            # NE rows are no longer hyper-stiffened ~392² relative to the
+            # meter rows, so this adversarial repositioning needs more
+            # multiplier updates to reach the same scaled tolerance
+            # (measured: viol 1.75e-2 at 8 outers, 3.0e-3 at 12).
+            al_opts=ALOptions(outer_iters=12, rho0=1e3, rho_growth=4.0,
                               tol=1e-5),
         )
         ns = prob.ocp.ns

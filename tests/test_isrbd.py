@@ -166,3 +166,50 @@ class TestISRBDWalkingOnline:
             assert float(np.asarray(d[f"f{i}"])[:, 2].min()) > -1.0
         # the swing schedule reached the horizon: some switch is zero
         assert float(np.asarray(params["cdot_switch"]).min()) == 0.0
+
+
+class TestISRBDF32Serving:
+    def test_f32_matches_f64_walking(self):
+        """The f32 TPU serving configuration (al_serving_options: scaled
+        equality stack + ρ ≤ 1e5): warm-started online walking ticks at
+        float32 must track the float64 violation/cost trace. Without
+        eq_scale the f32 path needs ρ ≤ 1e4 and plateaus ~5× worse (and
+        diverges at the ρ→1e8 default) — this test pins the fix."""
+        from srbd_horizon_tpu.solvers.options import al_serving_options
+        from srbd_horizon_tpu.wpg import WalkingPatternGenerator
+
+        def run(dtype):
+            cfg = SRBDConfig(dtype=dtype)
+            prob = build_isrbd_problem(cfg, kangaroo_line_feet())
+            ddp_opts, al_opts = al_serving_options(max_iters=10)
+            solver = ALDDP(prob.ocp, ddp_opts=ddp_opts, al_opts=al_opts)
+            x0 = prob.initial_state
+            U0 = jnp.tile(prob.static_input[None], (prob.ocp.ns, 1))
+            st = jax.jit(solver.solve)(
+                solver.init(x0, U0=U0), x0, prob.ocp.params
+            )
+            wpg = WalkingPatternGenerator.build(0.0, cfg.ns, dtype=dtype)
+            params = dict(prob.ocp.params)
+            wpg_state = wpg.init_state()
+            online = jax.jit(solver.solve_online)
+            viols, costs = [], []
+            for t in range(8):
+                params, wpg_state = wpg.advance(params, wpg_state, 1)
+                params["rdot_ref"] = params["rdot_ref"].at[1:].set(
+                    jnp.array([0.15, 0.0, 0.0], dtype)
+                )
+                st = online(st, st.sol.X[1], params)
+                viols.append(float(st.viol))
+                costs.append(float(st.sol.cost))
+            assert bool(jnp.all(jnp.isfinite(st.sol.X)))
+            return np.array(viols), np.array(costs)
+
+        v32, c32 = run(jnp.float32)
+        v64, c64 = run(jnp.float64)
+        # bounded transient infeasibility, same regime as the f64 walking
+        # test above
+        assert v32.max() < 8e-2, v32
+        # f32 tracks f64 tick for tick (the whole point of the scaled
+        # stack; loose factor covers f32 rounding in the warm-start chain)
+        np.testing.assert_allclose(v32, v64, rtol=0.2, atol=2e-3)
+        np.testing.assert_allclose(c32, c64, rtol=0.05)
