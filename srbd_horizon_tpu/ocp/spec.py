@@ -120,6 +120,14 @@ class OCP:
     residual_x_rows: Optional[Any] = None
     residual_u_rows: Optional[Any] = None
 
+    # Optional inequality-stack sparsity: indices of stage_ineq rows with
+    # any x- (resp. u-) dependence. Consumed by the AL solver when it
+    # composes sparsity metadata for its inner (AL-folded) residual stack
+    # (solvers/alddp.py) — friction-cone rows, for example, depend only
+    # on the force inputs. None = assume every ineq row touches both.
+    ineq_x_rows: Optional[Any] = None
+    ineq_u_rows: Optional[Any] = None
+
     # Optional dynamics-sparsity metadata: indices of rows where (A − I)
     # (resp. B) of the DISCRETE step Jacobian can be nonzero. Integrator
     # chains (position ← velocity ← input) make most rows of an Euler A

@@ -259,6 +259,36 @@ def build_isrbd_problem(
         "mask_lipzone": node_mask(ns, lipzone_start, ns + 1, dtype)[:, None],
     }
 
+    # Stacked-row sparsity over [stage_residual; stage_eq] (the MS-DDP
+    # penalty stack — msddp._stage_rho — and the base the AL solver
+    # composes its inner-stack metadata from). Segment table mirrors the
+    # residual/eq definitions above; "xu" rows touch both.
+    n_qddot = 6 + 3 * nc
+    res_segments = [
+        (1, "x"), (4, "x"), (3, "x"), (3, "x"),   # rz, o, rdot, w
+        (n_qddot, "u"), (4, "x"), (3 * nc, "u"),  # qddot, rel, min_f
+    ]
+    eq_segments = [
+        (n_relvel, "x"), (nc, "x"),               # rel-vel pairs, cz
+        (6, "xu"), (3, "xu"), (4, "x"),           # NE, LIP, lipzone
+    ]
+    res_x_rows, res_u_rows = [], []
+    off = 0
+    for size, dep in res_segments + eq_segments:
+        if "x" in dep:
+            res_x_rows.extend(range(off, off + size))
+        if "u" in dep:
+            res_u_rows.extend(range(off, off + size))
+        off += size
+
+    # Dynamics-row sparsity of the RK2 double-integrator step: velocity
+    # rows depend only on the (input) accelerations, so their (A−I) rows
+    # are identically zero; every row of B is live (positions get the
+    # RK2 half-step dt²/2 acceleration term). Completeness enforced
+    # against AD by tests/test_analytic_jac.py.
+    n_pos = 7 + 3 * nc                      # r, o, c — the position block
+    nx_total = state_layout.total
+
     ocp = OCP(
         ns=ns,
         dt=cfg.dt,
@@ -274,6 +304,13 @@ def build_isrbd_problem(
         eq_scale=eq_scale,
         ineq_lb=ineq_lb,
         ineq_ub=ineq_ub,
+        residual_x_rows=tuple(res_x_rows),
+        residual_u_rows=tuple(res_u_rows),
+        dynamics_x_rows=tuple(range(n_pos)),
+        dynamics_u_rows=tuple(range(nx_total)),
+        # friction cones are pure force (input) rows
+        ineq_x_rows=(),
+        ineq_u_rows=tuple(range(nc * 5)),
         x_lb=x_lb,
         x_ub=x_ub,
         u_lb=u_lb,

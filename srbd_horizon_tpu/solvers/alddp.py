@@ -181,12 +181,71 @@ class ALDDP:
                 terms += [t_ub, t_lb]
             return jnp.concatenate(terms)
 
+        # Inner-stack sparsity metadata. The inner residual stack is
+        #   [outer residual; AL-eq; cone ub; cone lb;
+        #    x-box ub; x-box lb; u-box ub; u-box lb]
+        # Compose its x/u row sets from the outer OCP's declarations so
+        # the batched inner solves take the blocksparse backward and the
+        # sliced linearizer (the SRBD hot-path machinery) — this is what
+        # makes constrained fleet serving fast, not just possible. When
+        # the outer OCP declares nothing, the inner OCP must not inherit
+        # the outer's (shorter-stack) sets either: clear them.
+        #   - outer residual_x/u_rows index the combined
+        #     [stage_residual; stage_eq] stack (msddp._stage_rho), which
+        #     occupies the same leading rows of the inner stack.
+        #   - cone segments use ineq_x/u_rows (None = all rows, both).
+        #   - box segments are diagonal: row j is live iff dim j is ever
+        #     finitely bounded in the STATIC bounds. Params-delivered
+        #     bound overrides (the online re-pinning channel) must keep
+        #     that finite-dim pattern or the declared sparsity goes
+        #     stale (tests/test_isrbd.py pins the composed sets vs AD).
+        inner_x_rows = inner_u_rows = None
+        if (
+            outer.residual_x_rows is not None
+            and outer.residual_u_rows is not None
+        ):
+            import numpy as np
+
+            zx = jnp.zeros(outer.nx)
+            zu = jnp.zeros(outer.nu)
+            p0 = {k: v[0] for k, v in outer.params.items()}
+            n_r = outer.stage_residual(zx, zu, p0).shape[0]
+            n_eq = outer.stage_eq(zx, zu, p0).shape[0]
+            xr = [int(r) for r in outer.residual_x_rows]
+            ur = [int(r) for r in outer.residual_u_rows]
+            off = n_r + n_eq
+            if outer.ineq_ub is not None:
+                n_in = outer.stage_ineq(zx, zu, p0).shape[0]
+                cone_x = (outer.ineq_x_rows
+                          if outer.ineq_x_rows is not None else range(n_in))
+                cone_u = (outer.ineq_u_rows
+                          if outer.ineq_u_rows is not None else range(n_in))
+                for seg in (0, 1):                       # t_ub, then t_lb
+                    xr.extend(off + seg * n_in + int(r) for r in cone_x)
+                    ur.extend(off + seg * n_in + int(r) for r in cone_u)
+                off += 2 * n_in
+            if has_xb:
+                for b in (x_ub, x_lb):                   # ub rows, lb rows
+                    live = np.where(np.isfinite(np.asarray(b)).any(0))[0]
+                    xr.extend(off + int(j) for j in live)
+                    off += outer.nx
+            if has_ub:
+                for b in (u_ub, u_lb):
+                    live = np.where(np.isfinite(np.asarray(b)).any(0))[0]
+                    ur.extend(off + int(j) for j in live)
+                    off += outer.nu
+            if xr and ur:
+                inner_x_rows = tuple(sorted(xr))
+                inner_u_rows = tuple(sorted(ur))
+
         inner_ocp = dataclasses.replace(
             outer,
             stage_residual=stage_residual,
             terminal_residual=terminal_residual,
             stage_eq=lambda x, u, p: jnp.zeros((0,), x.dtype),
             terminal_eq=lambda x, p: jnp.zeros((0,), x.dtype),
+            residual_x_rows=inner_x_rows,
+            residual_u_rows=inner_u_rows,
         )
         # The inner gain solve must be Cholesky here: at ρ→1e8 the AL
         # Quu reaches condition ~1e13 and the block-Schur spd_solve (a
@@ -442,6 +501,24 @@ class ALDDP:
             sol=sol,
             lam_eq=st.lam_eq + st.rho * h,
             lam_eq_T=st.lam_eq_T + st.rho * hT,
+            viol=viol,
+        )
+
+    def solve_online_batch(self, st: ALState, x0, params) -> ALState:
+        """Batched `solve_online`: one frozen-penalty outer iteration over
+        a leading scenario axis — the constrained fleet-serving tick
+        (inner solves through the lane-major batched MS-DDP path)."""
+        p_in = jax.vmap(
+            lambda p, s: self._params_with_multipliers(p, s),
+            in_axes=(0, 0),
+        )(params, st)
+        sol = self._inner.solve_batch(st.sol, x0, p_in)
+        h, hT, g, viol = jax.vmap(self._constraints)(sol.X, sol.U, params)
+        r2 = st.rho[:, None]
+        return st._replace(
+            sol=sol,
+            lam_eq=st.lam_eq + r2[..., None] * h,
+            lam_eq_T=st.lam_eq_T + r2 * hT,
             viol=viol,
         )
 

@@ -213,3 +213,37 @@ class TestISRBDF32Serving:
         # stack; loose factor covers f32 rounding in the warm-start chain)
         np.testing.assert_allclose(v32, v64, rtol=0.2, atol=2e-3)
         np.testing.assert_allclose(c32, c64, rtol=0.05)
+
+
+class TestISRBDOnlineBatch:
+    def test_solve_online_batch_matches_vmap(self):
+        """Batched frozen-penalty online tick (the constrained
+        fleet-serving path, tools/bench_isrbd.py) must match vmapped
+        per-instance solve_online."""
+        cfg, prob, solver = _build(outer_iters=2, max_iters=6)
+        B = 3
+        x0 = jnp.tile(prob.initial_state[None], (B, 1))
+        x0 = x0.at[:, 0].add(jnp.linspace(-0.01, 0.01, B))
+        ns = prob.ocp.ns
+        U0 = jnp.tile(prob.static_input[None], (ns, 1))
+        params = jax.tree.map(
+            lambda a: jnp.tile(a[None], (B,) + (1,) * a.ndim),
+            prob.ocp.params,
+        )
+        st0 = jax.vmap(lambda x: solver.init(x, U0=U0))(x0)
+        st = jax.jit(solver.solve_batch)(st0, x0, params)
+        ref = jax.vmap(solver.solve_online)(st, st.sol.X[:, 1], params)
+        got = jax.jit(solver.solve_online_batch)(
+            st, st.sol.X[:, 1], params
+        )
+        np.testing.assert_allclose(
+            np.asarray(got.sol.X), np.asarray(ref.sol.X),
+            rtol=1e-7, atol=1e-9,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got.lam_eq), np.asarray(ref.lam_eq),
+            rtol=1e-7, atol=1e-9,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got.viol), np.asarray(ref.viol), rtol=1e-7,
+        )

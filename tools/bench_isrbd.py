@@ -1,0 +1,111 @@
+"""Constrained (full-NLP / AL) fleet-serving benchmark — batched online
+isrbd ticks at float32, the workload the reference runs one robot at a
+time through IPOPT/gnsqp (isrbd_example.py:401-477).
+
+Each tick is one frozen-penalty AL outer iteration over the whole fleet
+(ALDDP.solve_online_batch: batched inner MS-DDP solve + multiplier
+update), with the gait schedule advanced device-side (WPG shift) —
+the same warm-started online pattern as examples/isrbd_example.py but
+over B fleet members at once. Requires the f32 serving configuration
+(solvers/options.py::al_serving_options: scaled equality stack,
+ρ ≤ 1e5); without eq_scale this workload diverges in f32.
+
+Prints one JSON line: ticks/s × B = constrained solves/s, plus the
+fleet max violation trace endpoints (sanity: bounded, not drifting).
+
+Usage: python tools/bench_isrbd.py [batch] [ticks]
+"""
+
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
+    n_ticks = int(sys.argv[2]) if len(sys.argv) > 2 else 30
+
+    from srbd_horizon_tpu.config import SRBDConfig
+    from srbd_horizon_tpu.models.kangaroo import kangaroo_line_feet
+    from srbd_horizon_tpu.problems.isrbd import build_isrbd_problem
+    from srbd_horizon_tpu.solvers.alddp import ALDDP
+    from srbd_horizon_tpu.solvers.options import al_serving_options
+    from srbd_horizon_tpu.wpg import WalkingPatternGenerator
+
+    dtype = jnp.float32
+    cfg = SRBDConfig(dtype=dtype)
+    prob = build_isrbd_problem(cfg, kangaroo_line_feet())
+    ddp_off, al_off = al_serving_options(max_iters=15)
+    offline = ALDDP(prob.ocp, ddp_opts=ddp_off, al_opts=al_off)
+    # online budget: 5 inner iterations (the reference's online
+    # max_iteration cap, launch:20), one frozen-penalty outer per tick
+    ddp_on, al_on = al_serving_options(max_iters=5)
+    online = ALDDP(prob.ocp, ddp_opts=ddp_on, al_opts=al_on)
+
+    B = batch
+    ns = prob.ocp.ns
+    x0 = jnp.tile(prob.initial_state[None], (B, 1))
+    key = jax.random.key(11)
+    x0 = x0 + 0.01 * jax.random.normal(key, x0.shape, dtype)
+    U0 = jnp.tile(prob.static_input[None], (ns, 1))
+    params = jax.tree.map(
+        lambda a: jnp.tile(a[None], (B,) + (1,) * a.ndim), prob.ocp.params
+    )
+
+    # offline fleet seed (full AL schedule, batched)
+    st0 = jax.vmap(lambda x: offline.init(x, U0=U0))(x0)
+    st = jax.jit(offline.solve_batch)(st0, x0, params)
+    jax.block_until_ready(st.viol)
+    seed_viol = float(jnp.max(st.viol))
+
+    wpg = WalkingPatternGenerator.build(0.0, ns, dtype=dtype)
+
+    def tick(st, params, wpg_state, action, rdot_ref):
+        p1, w1 = jax.vmap(
+            lambda p, s, a: wpg.advance(p, s, a)
+        )(params, wpg_state, action)
+        p1["rdot_ref"] = p1["rdot_ref"].at[:, 1:].set(rdot_ref[:, None, :])
+        st1 = online.solve_online_batch(st, st.sol.X[:, 1], p1)
+        return st1, p1, w1
+
+    tick_j = jax.jit(tick, donate_argnums=(0, 1, 2))
+
+    wpg_state = jax.vmap(lambda _: wpg.init_state())(jnp.arange(B))
+    action = jnp.ones((B,), jnp.int32)
+    rdot_ref = jnp.tile(jnp.array([[0.1, 0.0, 0.0]], dtype), (B, 1))
+
+    # warmup/compile
+    st, params, wpg_state = tick_j(st, params, wpg_state, action, rdot_ref)
+    jax.block_until_ready(st.viol)
+
+    t0 = time.perf_counter()
+    for _ in range(n_ticks):
+        st, params, wpg_state = tick_j(
+            st, params, wpg_state, action, rdot_ref
+        )
+    jax.block_until_ready(st.viol)
+    dt_s = (time.perf_counter() - t0) / n_ticks
+
+    viol_max = float(jnp.max(st.viol))
+    out = {
+        "metric": "isrbd_constrained_solves_per_s",
+        "value": round(B / dt_s, 1),
+        "unit": "solve/s",
+        "batch": B,
+        "tick_ms": round(1e3 * dt_s, 2),
+        "seed_viol_max": seed_viol,
+        "final_viol_max": viol_max,
+        "finite": bool(jnp.all(jnp.isfinite(st.sol.X))),
+        "dtype": "float32",
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
