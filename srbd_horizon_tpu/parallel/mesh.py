@@ -143,6 +143,35 @@ def sharded_monitored_tick(loop, monitor, mesh: Mesh, x_safe,
     return jax.jit(_tick_shard)
 
 
+def sharded_constrained_tick(alddp, mesh: Mesh, axis: str = SCENARIO_AXIS):
+    """One frozen-penalty AL outer tick for a sharded constrained fleet
+    (the full-NLP isrbd serving path, ALDDP.solve_online_batch): each
+    chip runs its shard's batched inner MS-DDP solve + multiplier update;
+    the ICI collectives carry only the scalar feasibility telemetry.
+
+    `f(al_states, x0s, params_batch) -> (al_states, metrics)`."""
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis)),
+        out_specs=(P(axis), P()),
+        check_vma=False,
+    )
+    def _tick_shard(st, x0s, params):
+        st = alddp.solve_online_batch(st, x0s, params)
+        cost = st.sol.cost
+        n_total = jax.lax.psum(jnp.asarray(cost.shape[0], cost.dtype), axis)
+        metrics = dict(
+            mean_cost=jax.lax.psum(jnp.sum(cost), axis) / n_total,
+            max_viol=jax.lax.pmax(jnp.max(st.viol), axis),
+            max_defect=jax.lax.pmax(jnp.max(st.sol.defect_norm), axis),
+        )
+        return st, metrics
+
+    return jax.jit(_tick_shard)
+
+
 def replicate_params(params: Dict[str, jnp.ndarray], batch: int):
     """Tile a problem's parameter pytree along a new scenario axis."""
     return jax.tree.map(

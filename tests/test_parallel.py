@@ -88,3 +88,54 @@ class TestShardedTick:
         assert float(metrics["max_defect"]) < 1e-4
         # per-scenario WPG state advanced on device
         assert int(np.asarray(carries.wpg_state.step_counter)[0]) == 3
+
+
+class TestShardedConstrainedTick:
+    def test_matches_unsharded(self):
+        """Sharded frozen-penalty AL tick (the constrained fleet-serving
+        path over a device mesh) must equal the unsharded
+        solve_online_batch, and the psum/pmax telemetry must reduce
+        globally."""
+        from srbd_horizon_tpu.parallel.mesh import sharded_constrained_tick
+        from srbd_horizon_tpu.problems.isrbd import build_isrbd_problem
+        from srbd_horizon_tpu.solvers.alddp import ALDDP, ALOptions
+
+        cfg = SRBDConfig(dtype=jnp.float64)
+        prob = build_isrbd_problem(cfg, kangaroo_line_feet())
+        solver = ALDDP(
+            prob.ocp,
+            ddp_opts=DDPOptions(max_iters=5, alpha_converge_threshold=1e-12,
+                                beta=1e-3),
+            al_opts=ALOptions(outer_iters=2, rho0=1e3, rho_max=1e5),
+        )
+        mesh = make_mesh()
+        B = 8
+        x0 = jnp.tile(prob.initial_state[None], (B, 1))
+        x0 = x0.at[:, 0].add(jnp.linspace(-0.01, 0.01, B))
+        U0 = jnp.tile(prob.static_input[None], (prob.ocp.ns, 1))
+        params = replicate_params(prob.ocp.params, B)
+        st0 = jax.vmap(lambda x: solver.init(x, U0=U0))(x0)
+        st = jax.jit(solver.solve_batch)(st0, x0, params)
+
+        ref = jax.jit(solver.solve_online_batch)(st, st.sol.X[:, 1], params)
+
+        tick = sharded_constrained_tick(solver, mesh)
+        st_s = shard_batch(mesh, st)
+        x0_s = shard_batch(mesh, st.sol.X[:, 1])
+        p_s = shard_batch(mesh, params)
+        got, metrics = tick(st_s, x0_s, p_s)
+
+        np.testing.assert_allclose(
+            np.asarray(got.sol.X), np.asarray(ref.sol.X),
+            rtol=1e-9, atol=1e-11,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got.viol), np.asarray(ref.viol), rtol=1e-9,
+        )
+        np.testing.assert_allclose(
+            float(metrics["max_viol"]), float(jnp.max(ref.viol)), rtol=1e-9,
+        )
+        np.testing.assert_allclose(
+            float(metrics["mean_cost"]), float(jnp.mean(ref.sol.cost)),
+            rtol=1e-9,
+        )
