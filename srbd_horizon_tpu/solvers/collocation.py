@@ -83,6 +83,22 @@ class TranscribedNLP:
     def __post_init__(self):
         if self.transcription not in ("multiple_shooting", "direct_collocation"):
             raise ValueError(f"unknown transcription {self.transcription!r}")
+        # Equality stacks in SCALED space (OCP.eq_scale — same rationale
+        # and semantics as solvers/alddp.py): multipliers, violations,
+        # and the ρ schedule all see S·h.
+        ocp = self.ocp
+        if ocp.eq_scale is not None:
+            sc = jnp.asarray(ocp.eq_scale)
+            stage_eq = lambda x, u, p: sc * ocp.stage_eq(x, u, p)
+        else:
+            stage_eq = ocp.stage_eq
+        if ocp.eq_scale_T is not None:
+            sc_T = jnp.asarray(ocp.eq_scale_T)
+            terminal_eq = lambda x, p: sc_T * ocp.terminal_eq(x, p)
+        else:
+            terminal_eq = ocp.terminal_eq
+        object.__setattr__(self, "_stage_eq", stage_eq)
+        object.__setattr__(self, "_terminal_eq", terminal_eq)
 
     # ---------- packing ----------
 
@@ -128,8 +144,8 @@ class TranscribedNLP:
         p_term = {k: v[ns] for k, v in params.items()}
         h_dyn = self._defects(X, U, params)
         h_x0 = X[0] - x0
-        h_eq = jax.vmap(ocp.stage_eq)(X[:ns], U, p_stage)
-        h_eq_T = ocp.terminal_eq(X[ns], p_term)
+        h_eq = jax.vmap(self._stage_eq)(X[:ns], U, p_stage)
+        h_eq_T = self._terminal_eq(X[ns], p_term)
         if ocp.ineq_ub is not None:
             g = jax.vmap(ocp.stage_ineq)(X[:ns], U, p_stage)
         else:
@@ -184,8 +200,8 @@ class TranscribedNLP:
 
         h_dyn = self._defects(X, U, params)
         h_x0 = X[0] - x0
-        h_eq = jax.vmap(ocp.stage_eq)(X[:ns], U, p_stage)
-        h_eq_T = ocp.terminal_eq(X[ns], p_term)
+        h_eq = jax.vmap(self._stage_eq)(X[:ns], U, p_stage)
+        h_eq_T = self._terminal_eq(X[ns], p_term)
 
         parts = [
             r_stage.reshape(-1),
