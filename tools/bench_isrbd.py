@@ -13,7 +13,9 @@ over B fleet members at once. Requires the f32 serving configuration
 Prints one JSON line: ticks/s × B = constrained solves/s, plus the
 fleet max violation trace endpoints (sanity: bounded, not drifting).
 
-Usage: python tools/bench_isrbd.py [batch] [ticks]
+Usage: python tools/bench_isrbd.py [batch] [ticks] [--dense]
+  --dense  strip the OCP's sparsity metadata (A/B baseline: dense inner
+           linearize + dense backward contraction)
 """
 
 import json
@@ -28,8 +30,10 @@ import jax.numpy as jnp
 
 
 def main():
-    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
-    n_ticks = int(sys.argv[2]) if len(sys.argv) > 2 else 30
+    args = [a for a in sys.argv[1:] if a != "--dense"]
+    dense = "--dense" in sys.argv[1:]
+    batch = int(args[0]) if len(args) > 0 else 1024
+    n_ticks = int(args[1]) if len(args) > 1 else 30
 
     from srbd_horizon_tpu.config import SRBDConfig
     from srbd_horizon_tpu.models.kangaroo import kangaroo_line_feet
@@ -41,6 +45,18 @@ def main():
     dtype = jnp.float32
     cfg = SRBDConfig(dtype=dtype)
     prob = build_isrbd_problem(cfg, kangaroo_line_feet())
+    if dense:
+        import dataclasses
+
+        prob = dataclasses.replace(
+            prob,
+            ocp=dataclasses.replace(
+                prob.ocp,
+                residual_x_rows=None, residual_u_rows=None,
+                dynamics_x_rows=None, dynamics_u_rows=None,
+                ineq_x_rows=None, ineq_u_rows=None,
+            ),
+        )
     ddp_off, al_off = al_serving_options(max_iters=15)
     offline = ALDDP(prob.ocp, ddp_opts=ddp_off, al_opts=al_off)
     # online budget: 5 inner iterations (the reference's online
@@ -103,6 +119,7 @@ def main():
         "final_viol_max": viol_max,
         "finite": bool(jnp.all(jnp.isfinite(st.sol.X))),
         "dtype": "float32",
+        "inner": "dense" if dense else "sparse",
     }
     print(json.dumps(out))
 
