@@ -72,27 +72,42 @@ def main(batch=512, reps=20):
         )
         _ = bwd_lm_fn(lin)
 
+        # the PRODUCTION path phases (linearize_sliced default): sliced
+        # emission + blocksparse lane-major backward consuming it
+        lin_sl_fn = jax.jit(jax.vmap(
+            lambda x, u, p: solver._linearize(x, u, p, sliced=True)
+        ))
+        lin_sl = lin_sl_fn(X, U, params)
+        bwd_sl_fn = jax.jit(
+            lambda l: solver._backward_lanemajor(l, jnp.asarray(1e-6, dtype))
+        )
+        _ = bwd_sl_fn(lin_sl)
+
         solve_fn = jax.jit(jax.vmap(solver.solve))
         _ = solve_fn(sols, x0, params)
         solveb_fn = jax.jit(solver.solve_batch)
         _ = solveb_fn(sols, x0, params)
 
         t_lin = timeit(lin_fn, X, U, params, reps=reps)
+        t_lin_sl = timeit(lin_sl_fn, X, U, params, reps=reps)
         t_bwd = timeit(bwd_fn, lin, reps=reps)
         t_bwd_lm = timeit(bwd_lm_fn, lin, reps=reps)
+        t_bwd_sl = timeit(bwd_sl_fn, lin_sl, reps=reps)
         t_roll = timeit(roll_fn, x0, X, U, ks, Ks, lin["d"], params, reps=reps)
         t_cost = timeit(cost_fn, Xn, Un, params, reps=reps)
         t_solve = timeit(solve_fn, sols, x0, params, reps=max(3, reps // 4))
         t_solveb = timeit(solveb_fn, sols, x0, params, reps=max(3, reps // 4))
 
     print(f"device={jax.devices()[0]} batch={B}")
-    print(f"linearize    : {t_lin*1e3:8.2f} ms")
+    print(f"linearize    : {t_lin*1e3:8.2f} ms (dense)")
+    print(f"linearize sl : {t_lin_sl*1e3:8.2f} ms (sliced — production)")
     print(f"backward     : {t_bwd*1e3:8.2f} ms (vmap batch-first)")
-    print(f"backward lm  : {t_bwd_lm*1e3:8.2f} ms (lane-major)")
+    print(f"backward lm  : {t_bwd_lm*1e3:8.2f} ms (lane-major, dense lin)")
+    print(f"backward sl  : {t_bwd_sl*1e3:8.2f} ms (lane-major, sliced lin — production)")
     print(f"rollout      : {t_roll*1e3:8.2f} ms")
     print(f"cost         : {t_cost*1e3:8.2f} ms")
     ls_width = solver.opts.parallel_line_search_width
-    iter_est = t_lin + t_bwd_lm + ls_width * (t_roll + t_cost)
+    iter_est = t_lin_sl + t_bwd_sl + ls_width * (t_roll + t_cost)
     print(f"est/iter(lm) : {iter_est*1e3:8.2f} ms  (ls_width={ls_width})")
     print(f"solve (vmap) : {t_solve*1e3:8.2f} ms  (max_iters={solver.opts.max_iters})")
     print(f"solve (batch): {t_solveb*1e3:8.2f} ms")
