@@ -36,6 +36,9 @@ class HealthMonitor:
     # but the tracking cost jumps ~1000× above the walking steady state
     # (~1e4) — the production signal that a member needs a reset
     max_cost: float = 1e6
+    # constrained-path explosion threshold, SCALED violation units
+    # (OCP.eq_scale): the walking transient plateaus ~5e-2
+    max_constraint_viol: float = 0.5
 
     def check(self, out: TickOutput) -> HealthReport:
         finite = jnp.all(jnp.isfinite(out.x), axis=-1) & jnp.all(
@@ -67,6 +70,73 @@ class HealthMonitor:
         report = self.check(out)
         carry = self.reset_where_unhealthy(carry, report, x_safe)
         return carry, out, report
+
+    # ---------- constrained (AL / full-NLP) fleet ----------
+
+    def check_constrained(self, st) -> HealthReport:
+        """Classify a constrained fleet tick (ALState, batched): finite
+        plan, bounded SCALED constraint violation (OCP.eq_scale units —
+        the walking transient plateaus ~5e-2; an order above that is a
+        diverged member), bounded cost."""
+        finite = jnp.all(jnp.isfinite(st.sol.X), axis=(-2, -1)) & jnp.all(
+            jnp.isfinite(st.sol.U), axis=(-2, -1)
+        )
+        viol_ok = st.viol < self.max_constraint_viol
+        cost_ok = st.sol.cost < self.max_cost
+        ok = finite & viol_ok & cost_ok
+        return HealthReport(
+            healthy=ok, finite=finite, defect_ok=viol_ok,
+            residual_ok=viol_ok, cost_ok=cost_ok,
+        )
+
+    def monitored_constrained_tick(self, alddp, st, x0, params,
+                                   x_safe: jnp.ndarray,
+                                   u_safe: jnp.ndarray):
+        """One batched frozen-penalty AL tick (ALDDP.solve_online_batch)
+        with failure detection and in-place recovery: unhealthy members
+        get their plan rebuilt from (x_safe, u_safe) and their AL
+        multipliers zeroed (a diverged member's multipliers encode the
+        divergence — they must not survive the reset). Healthy members
+        bit-identical to a plain tick (masked selects only)."""
+        st = alddp.solve_online_batch(st, x0, params)
+        report = self.check_constrained(st)
+        st = self.reset_constrained_where_unhealthy(
+            st, report, x_safe, u_safe
+        )
+        return st, report
+
+    def reset_constrained_where_unhealthy(
+        self, st, report: HealthReport, x_safe: jnp.ndarray,
+        u_safe: jnp.ndarray,
+    ):
+        ok = report.healthy
+
+        def pick(healthy_leaf, reset_leaf):
+            mask = ok.reshape(ok.shape + (1,) * (healthy_leaf.ndim - ok.ndim))
+            return jnp.where(mask, healthy_leaf, reset_leaf)
+
+        def zero_unless_ok(leaf):
+            return pick(leaf, jnp.zeros_like(leaf))
+
+        # x_safe (nx,) / u_safe (nu,) broadcast over batch and nodes
+        X_reset = jnp.broadcast_to(x_safe, st.sol.X.shape)
+        U_reset = jnp.broadcast_to(u_safe, st.sol.U.shape)
+        sol = st.sol._replace(
+            X=pick(st.sol.X, X_reset),
+            U=pick(st.sol.U, U_reset),
+        )
+        return st._replace(
+            sol=sol,
+            lam_eq=zero_unless_ok(st.lam_eq),
+            lam_eq_T=zero_unless_ok(st.lam_eq_T),
+            mu_ub=zero_unless_ok(st.mu_ub),
+            mu_lb=zero_unless_ok(st.mu_lb),
+            mu_x_ub=zero_unless_ok(st.mu_x_ub),
+            mu_x_lb=zero_unless_ok(st.mu_x_lb),
+            mu_u_ub=zero_unless_ok(st.mu_u_ub),
+            mu_u_lb=zero_unless_ok(st.mu_u_lb),
+            viol=jnp.where(ok, st.viol, jnp.inf),
+        )
 
     def reset_where_unhealthy(
         self, carry: LoopCarry, report: HealthReport, x_safe: jnp.ndarray

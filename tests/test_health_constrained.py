@@ -1,0 +1,111 @@
+"""Constrained-fleet fault injection + recovery: the HealthMonitor wired
+into the batched AL serving tick (runtime/health.py::
+monitored_constrained_tick). A NaN-corrupted member must be detected and
+rebuilt in place — plan reset to the safe stance, AL multipliers zeroed —
+while every untouched member's state stays BIT-IDENTICAL to a fault-free
+run (the reference's gnsqp loop has no failure handling at all,
+SURVEY.md §5.3)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from srbd_horizon_tpu.config import SRBDConfig
+from srbd_horizon_tpu.models.kangaroo import kangaroo_line_feet
+from srbd_horizon_tpu.problems.isrbd import build_isrbd_problem
+from srbd_horizon_tpu.runtime.health import HealthMonitor
+from srbd_horizon_tpu.solvers.alddp import ALDDP
+from srbd_horizon_tpu.solvers.options import al_serving_options
+from srbd_horizon_tpu.wpg import WalkingPatternGenerator
+
+B = 5
+NAN_MEMBER = 2
+FAULT_TICK = 3
+T_TOTAL = 8
+DTYPE = jnp.float32  # the f32 TPU serving configuration
+
+
+def _setup():
+    cfg = SRBDConfig(dtype=DTYPE)
+    prob = build_isrbd_problem(cfg, kangaroo_line_feet())
+    ddp_opts, al_opts = al_serving_options(max_iters=8)
+    solver = ALDDP(prob.ocp, ddp_opts=ddp_opts, al_opts=al_opts)
+    wpg = WalkingPatternGenerator.build(0.0, cfg.ns, dtype=DTYPE)
+    key = jax.random.key(3)
+    x0 = jnp.tile(prob.initial_state[None], (B, 1))
+    x0 = x0 + 0.005 * jax.random.normal(key, x0.shape, DTYPE)
+    return cfg, prob, solver, wpg, x0
+
+
+def _run(inject):
+    cfg, prob, solver, wpg, x0 = _setup()
+    ns = prob.ocp.ns
+    U0 = jnp.tile(prob.static_input[None], (ns, 1))
+    params = jax.tree.map(
+        lambda a: jnp.tile(a[None], (B,) + (1,) * a.ndim), prob.ocp.params
+    )
+    st0 = jax.vmap(lambda x: solver.init(x, U0=U0))(x0)
+    st = jax.jit(solver.solve_batch)(st0, x0, params)
+
+    monitor = HealthMonitor()
+    x_safe = prob.initial_state
+    u_safe = prob.static_input
+    tick = jax.jit(
+        lambda s, x, p: monitor.monitored_constrained_tick(
+            solver, s, x, p, x_safe, u_safe
+        )
+    )
+
+    wpg_states = jax.vmap(lambda _: wpg.init_state())(jnp.arange(B))
+    advance = jax.jit(
+        jax.vmap(lambda p, s: wpg.advance(p, s, 1))
+    )
+    rdot = jnp.tile(jnp.array([[0.1, 0.0, 0.0]], DTYPE), (B, 1))
+
+    Xs, reports = [], []
+    for t in range(T_TOTAL):
+        if inject and t == FAULT_TICK:
+            st = st._replace(
+                sol=st.sol._replace(
+                    X=st.sol.X.at[NAN_MEMBER].set(jnp.nan)
+                )
+            )
+        params, wpg_states = advance(params, wpg_states)
+        params["rdot_ref"] = params["rdot_ref"].at[:, 1:].set(rdot[:, None, :])
+        st, report = tick(st, st.sol.X[:, 1], params)
+        Xs.append(np.asarray(st.sol.X))
+        reports.append(report)
+    return st, Xs, reports
+
+
+class TestConstrainedChaos:
+    def setup_method(self):
+        self.st_f, self.Xs_f, self.reports_f = _run(inject=True)
+        self.st_c, self.Xs_c, self.reports_c = _run(inject=False)
+
+    def test_clean_run_all_healthy(self):
+        for r in self.reports_c:
+            assert bool(jnp.all(r.healthy)), np.asarray(r.healthy)
+
+    def test_fault_detected_and_reset(self):
+        r = self.reports_f[FAULT_TICK]
+        assert not bool(r.healthy[NAN_MEMBER])
+        assert not bool(r.finite[NAN_MEMBER])
+        # everyone else stayed healthy through the fault tick
+        others = [i for i in range(B) if i != NAN_MEMBER]
+        assert bool(jnp.all(r.healthy[jnp.array(others)]))
+
+    def test_fleet_recovers_finite(self):
+        assert np.all(np.isfinite(self.Xs_f[-1])), "fleet did not recover"
+        # the reset member is healthy again by the end
+        assert bool(self.reports_f[-1].healthy[NAN_MEMBER])
+        # and its multipliers were rebuilt (not NaN-poisoned)
+        assert bool(jnp.all(jnp.isfinite(self.st_f.lam_eq[NAN_MEMBER])))
+
+    def test_untouched_members_bit_identical(self):
+        others = [i for i in range(B) if i != NAN_MEMBER]
+        for t in range(T_TOTAL):
+            np.testing.assert_array_equal(
+                self.Xs_f[t][others], self.Xs_c[t][others],
+                err_msg=f"tick {t}",
+            )
