@@ -207,6 +207,19 @@ class DDPOptions:
     # own transpose round-trip (scan xs must be materialized, so the
     # moveaxis copies are real HBM traffic). Experimental A/B knob.
     linearize_lane_out: bool = False
+    # Form the stage Jacobians INSIDE the backward scan (per node, per
+    # lane) instead of materializing Sx/Bs/Jxp/Jup stacks in HBM between
+    # the linearize and backward phases: the scan consumes only
+    # (x, u, p, rho, d) per node (~200 floats/member vs ~3500) and each
+    # node's Jacobian block lives only as scan-step temporaries. Same
+    # one-hot-tangent arithmetic — equal to rounding (≤3e-16 on CPU f64;
+    # XLA fuses the in-scan formation differently, tested). The
+    # solver is HBM-bandwidth bound (~100 GB/s effective on v5e-lite,
+    # calibrated from the linearize_sliced win), so trading a second
+    # (in-scan) formation of the Jacobians for never writing/reading
+    # them may pay. Experimental A/B knob; requires the sliced gate
+    # (blocksparse + declared rows) and f32 (bf16 formation excluded).
+    linearize_fused_backward: bool = False
     # Linearization arithmetic ("f32" | "bf16"): with "bf16" the stage
     # Jacobians/residuals are FORMED in bfloat16 (inputs cast down, jacfwd
     # run under default matmul precision, outputs cast back) while ALL

@@ -259,6 +259,23 @@ class MSDDP:
         return dict(Sx=Sx, Bs=Bs, Jxp=Jxp, Jup=Jup, rho=rho, rt=rt, Jt=Jt,
                     d=F - X[1:])
 
+    def _linearize_light(self, X, U, params):
+        """Values-only linearization for opts.linearize_fused_backward:
+        residuals, defects, and the terminal Jacobian — the stage
+        Jacobians are formed inside the backward scan instead of being
+        materialized here (the backward consumes (x, u, p) per node)."""
+        ns = self.ocp.ns
+        dt = self.ocp.dt
+        p_stage = {k: v[:ns] for k, v in params.items()}
+        F = jax.vmap(lambda x, u, p: self.ocp.step(x, u, p, dt))(
+            X[:ns], U, p_stage
+        )
+        rho = jax.vmap(self._stage_rho)(X[:ns], U, p_stage)
+        p_term = {k: v[ns] for k, v in params.items()}
+        rt = self.ocp.terminal_residual(X[ns], p_term)
+        Jt = jax.jacfwd(self.ocp.terminal_residual)(X[ns], p_term)
+        return dict(rho=rho, rt=rt, Jt=Jt, d=F - X[1:])
+
     # ---------- backward Riccati sweep (reverse scan) ----------
 
     def _backward(self, lin, mu):
@@ -327,7 +344,8 @@ class MSDDP:
     # 30 ms sweep) while its unrolled broadcast-FMA chains spilled ~46 MB
     # (2× slower end-to-end). History: `git log -- solvers/pallas_backward.py`.
 
-    def _backward_lanemajor(self, lin, mu, lin_lane_major=False):
+    def _backward_lanemajor(self, lin, mu, lin_lane_major=False,
+                            fused_inputs=None):
         """Backward Riccati sweep for a WHOLE BATCH at once, with the batch
         on the minor (lane) dimension.
 
@@ -345,7 +363,7 @@ class MSDDP:
             return jnp.moveaxis(x, 0, -1)
 
         sliced_lin = "Sx" in lin  # opts.linearize_sliced emission
-        if not sliced_lin:
+        if not sliced_lin and fused_inputs is None:
             A = to_lm(lin["A"])
             Bm = to_lm(lin["B"])
             Jx = to_lm(lin["Jx"])
@@ -377,7 +395,7 @@ class MSDDP:
         xr, ur = self.ocp.residual_x_rows, self.ocp.residual_u_rows
         dxr = self.ocp.dynamics_x_rows
         dur = self.ocp.dynamics_u_rows
-        blocksparse = sliced_lin or (
+        blocksparse = sliced_lin or fused_inputs is not None or (
             self.opts.backward_contract == "blocksparse"
             and dxr is not None and dur is not None
             and xr is not None and ur is not None
@@ -457,8 +475,7 @@ class MSDDP:
             )
             eye_rx = _slice_rows(jnp.eye(nx, dtype=dtype), rx_runs, 0)
 
-            def node(carry, inp):
-                Sx_, Bs_, Jxp_, Jup_, rxp_, rup_, d_ = inp
+            def node_ops(carry, Sx_, Bs_, Jxp_, Jup_, rxp_, rup_, d_):
                 Vx, Vxx = carry[0], carry[1]
                 lx = 2.0 * lm_matvec_tn(Jxp_, rxp_)
                 lu = 2.0 * lm_matvec_tn(Jup_, rup_)
@@ -481,7 +498,54 @@ class MSDDP:
                 Qux = lux + lm_matmul_tn(Bs_, _slice_rows(VA, ru_runs, 0))
                 return chain(carry, Qx, Qu, Qxx, Quu, Qux)
 
-            if sliced_lin:
+            if fused_inputs is not None:
+                # opts.linearize_fused_backward: form this node's sliced
+                # Jacobians HERE, per lane — the scan consumes only
+                # (x, u, p, rho-slices, d); the Jacobian block exists only
+                # as scan-step temporaries, never as an HBM stack. Same
+                # one-hot-tangent arithmetic as _linearize_sliced.
+                Xb, Ub, Pb = fused_inputs          # batch-first
+                ns_ = self.ocp.ns
+                dt = self.ocp.dt
+
+                def f_x(x, u, p):
+                    return _slice_rows(self.ocp.step(x, u, p, dt), rx_runs, 0)
+
+                def f_u(x, u, p):
+                    return _slice_rows(self.ocp.step(x, u, p, dt), ru_runs, 0)
+
+                def rho_x_f(x, u, p):
+                    return _slice_rows(self._stage_rho(x, u, p), gx_runs, 0)
+
+                def rho_u_f(x, u, p):
+                    return _slice_rows(self._stage_rho(x, u, p), gu_runs, 0)
+
+                lanes = dict(in_axes=(-1, -1, -1), out_axes=-1)
+                form_A = jax.vmap(jax.jacfwd(f_x, argnums=0), **lanes)
+                form_B = jax.vmap(jax.jacfwd(f_u, argnums=1), **lanes)
+                form_Jx = jax.vmap(jax.jacfwd(rho_x_f, argnums=0), **lanes)
+                form_Ju = jax.vmap(jax.jacfwd(rho_u_f, argnums=1), **lanes)
+
+                def node(carry, inp):
+                    x_, u_, p_, rxp_, rup_, d_ = inp
+                    Sx_ = form_A(x_, u_, p_) - eye_rx[:, :, None]
+                    Bs_ = form_B(x_, u_, p_)
+                    Jxp_ = form_Jx(x_, u_, p_)
+                    Jup_ = form_Ju(x_, u_, p_)
+                    return node_ops(
+                        carry, Sx_, Bs_, Jxp_, Jup_, rxp_, rup_, d_
+                    )
+
+                xs = (
+                    jnp.moveaxis(Xb[:, :ns_], 0, -1),      # (ns, nx, B)
+                    jnp.moveaxis(Ub, 0, -1),               # (ns, nu, B)
+                    {k: jnp.moveaxis(v[:, :ns_], 0, -1)
+                     for k, v in Pb.items()},              # (ns, dim, B)
+                    _slice_rows(rho, gx_runs, 1),
+                    _slice_rows(rho, gu_runs, 1),
+                    d,
+                )
+            elif sliced_lin:
                 # linearize already emitted exactly these operands
                 lm = (lambda x: x) if lin_lane_major else to_lm
                 xs = (
@@ -501,6 +565,10 @@ class MSDDP:
                     _slice_rows(rho, gu_runs, 1),
                     d,
                 )
+
+            if fused_inputs is None:
+                def node(carry, inp):
+                    return node_ops(carry, *inp)
         elif combined:
             def node(carry, inp):
                 A_, B_, Jx_, Ju_, rho_, d_ = inp
@@ -580,8 +648,15 @@ class MSDDP:
             and self.ocp.residual_x_rows is not None
             and self.ocp.residual_u_rows is not None
         )
-        lane_out = sliced and opts.linearize_lane_out
-        if lane_out:
+        fused = (
+            sliced
+            and opts.linearize_fused_backward
+            and opts.linearize_precision != "bf16"
+        )
+        lane_out = sliced and opts.linearize_lane_out and not fused
+        if fused:
+            lin = jax.vmap(self._linearize_light)(state.X, state.U, params)
+        elif lane_out:
             # emit the backward's operands lane-major straight out of the
             # vmap (out_axes=-1) — the scan consumes them as-is, skipping
             # the moveaxis copies; d stays batch-first (rollout/merit and
@@ -598,7 +673,10 @@ class MSDDP:
             )(state.X, state.U, params)
         mu = jnp.asarray(opts.mu0, state.X.dtype)
         ks, Ks, dV1, dV2 = self._backward_lanemajor(
-            lin, mu, lin_lane_major=lane_out
+            lin, mu, lin_lane_major=lane_out,
+            fused_inputs=(
+                (state.X, state.U, params) if fused else None
+            ),
         )
 
         nu_w = jnp.asarray(opts.defect_weight, state.X.dtype)

@@ -173,6 +173,38 @@ class TestSlicedLinearize:
             np.asarray(got.iterations), np.asarray(ref.iterations)
         )
 
+    def test_fused_backward_matches(self):
+        """linearize_fused_backward forms the stage Jacobians inside the
+        backward scan; same one-hot-tangent arithmetic, but XLA fuses the
+        in-scan formation differently, so equality holds to rounding
+        (measured 3e-16 abs on CPU f64), not bit-for-bit."""
+        import dataclasses
+
+        _, prob, base, x0, params = _setup()
+        sli = MSDDP(
+            prob.ocp,
+            dataclasses.replace(base.opts, linearize_sliced=True),
+        )
+        fus = MSDDP(
+            prob.ocp,
+            dataclasses.replace(
+                base.opts, linearize_sliced=True,
+                linearize_fused_backward=True,
+            ),
+        )
+        sols0 = jax.vmap(sli.init)(x0)
+        ref = jax.jit(sli.solve_batch)(sols0, x0, params)
+        got = jax.jit(fus.solve_batch)(sols0, x0, params)
+        np.testing.assert_allclose(
+            np.asarray(got.X), np.asarray(ref.X), rtol=1e-9, atol=1e-12
+        )
+        np.testing.assert_allclose(
+            np.asarray(got.U), np.asarray(ref.U), rtol=1e-9, atol=1e-12
+        )
+        np.testing.assert_array_equal(
+            np.asarray(got.iterations), np.asarray(ref.iterations)
+        )
+
 
 class TestFanCompaction:
     """line_search_compact: with only a few members rejecting α₀, the
