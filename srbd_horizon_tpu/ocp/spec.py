@@ -140,6 +140,20 @@ class OCP:
     dynamics_x_rows: Optional[Any] = None
     dynamics_u_rows: Optional[Any] = None
 
+    # Optional dynamics COLUMN sparsity: indices of input entries that the
+    # discrete step actually consumes (columns of B that can be nonzero).
+    # In the isrbd formulation the contact forces are pure *cost/constraint*
+    # variables — accelerations drive the double-integrator dynamics and
+    # forces appear only in the Newton–Euler / cone residual rows
+    # (isrbd_example.py:109-135) — so 12 of 30 B columns are identically
+    # zero. The sliced linearizer emits only the live columns and the
+    # blocksparse backward contracts BᵀVB / BᵀVA / BᵀVx over them,
+    # scattering the results back into the full (nu, ·) Q-terms (the
+    # residual Grams still couple every input, so Quu itself stays dense).
+    # None = every column live. Completeness enforced against AD by
+    # tests/test_analytic_jac.py.
+    dynamics_u_cols: Optional[Any] = None
+
     # template parameter pytree: dict name -> (ns+1, dim) array
     params: Dict[str, jnp.ndarray] = dataclasses.field(default_factory=dict)
 

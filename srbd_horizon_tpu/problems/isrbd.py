@@ -308,6 +308,13 @@ def build_isrbd_problem(
         residual_u_rows=tuple(res_u_rows),
         dynamics_x_rows=tuple(range(n_pos)),
         dynamics_u_rows=tuple(range(nx_total)),
+        # forces never enter the double-integrator dynamics (they are pure
+        # residual/constraint variables, isrbd_example.py:109-135): only
+        # the acceleration inputs rddot, wdot, cddot{i} are live B columns
+        dynamics_u_cols=tuple(
+            list(range(6))
+            + [6 + 6 * i + j for i in range(nc) for j in range(3)]
+        ),
         # friction cones are pure force (input) rows
         ineq_x_rows=(),
         ineq_u_rows=tuple(range(nc * 5)),

@@ -83,6 +83,39 @@ def _slice_rows(arr, runs, axis):
     )
 
 
+def _complement_runs(runs, total):
+    """The contiguous runs covering [0, total) that `runs` does not."""
+    out, pos = [], 0
+    for a, b in runs:
+        if a > pos:
+            out.append((pos, a))
+        pos = b
+    if pos < total:
+        out.append((pos, total))
+    return out
+
+
+def _scatter_rows(arr, runs, total, axis):
+    """Inverse of `_slice_rows`: place the run-stacked blocks of `arr`
+    back at their positions along `axis` (zeros elsewhere). Static
+    zero-block concatenation — no gathers/scatters."""
+    pieces, pos, off = [], 0, 0
+    shape = list(arr.shape)
+    for a, b in runs:
+        if a > pos:
+            shape[axis] = a - pos
+            pieces.append(jnp.zeros(shape, arr.dtype))
+        pieces.append(jax.lax.slice_in_dim(arr, off, off + (b - a), axis=axis))
+        off += b - a
+        pos = b
+    if pos < total:
+        shape[axis] = total - pos
+        pieces.append(jnp.zeros(shape, arr.dtype))
+    if len(pieces) == 1:
+        return pieces[0]
+    return jnp.concatenate(pieces, axis=axis)
+
+
 class DDPSolution(NamedTuple):
     """Solver state/result — a pytree. X/U persist across `solve` calls so
     each MPC tick warm-starts from the previous plan, matching the stateful
@@ -212,6 +245,31 @@ class MSDDP:
         defects = F - X[1:]                                     # (ns, nx)
         return dict(A=A, B=B, Jx=Jx, Ju=Ju, rho=rho, rt=rt, Jt=Jt, d=defects)
 
+    def _u_col_runs(self):
+        """Contiguous runs of ocp.dynamics_u_cols, or None when every
+        input column is live (no declaration, or a trivial one)."""
+        uc = self.ocp.dynamics_u_cols
+        if uc is None or len(set(int(c) for c in uc)) >= self.ocp.nu:
+            return None
+        return _contiguous_runs(uc)
+
+    def _dyn_u_cols_fn(self, ru_runs, uc_runs):
+        """f(x, u_live, u, p) -> live dynamics rows, where the tangent
+        argument `u_live` covers only the declared-live input columns
+        (dead columns ride along from `u` as constants) — jacfwd over
+        argnums=1 then emits Bs with |uc| columns instead of nu."""
+        nu = self.ocp.nu
+        dt = self.ocp.dt
+        ud_runs = _complement_runs(uc_runs, nu)
+
+        def f_uc(x, ul, u, p):
+            uf = _scatter_rows(ul, uc_runs, nu, 0) + _scatter_rows(
+                _slice_rows(u, ud_runs, 0), ud_runs, nu, 0
+            )
+            return _slice_rows(self.ocp.step(x, uf, p, dt), ru_runs, 0)
+
+        return f_uc
+
     def _linearize_sliced(self, X, U, params):
         """Linearization emitting ONLY the rows the blocksparse backward
         reads (opts.linearize_sliced): split jacfwd per argument — the
@@ -229,12 +287,10 @@ class MSDDP:
         ru_runs = _contiguous_runs(self.ocp.dynamics_u_rows)
         gx_runs = _contiguous_runs(self.ocp.residual_x_rows)
         gu_runs = _contiguous_runs(self.ocp.residual_u_rows)
+        uc_runs = self._u_col_runs()
 
         def f_x(x, u, p):
             return _slice_rows(self.ocp.step(x, u, p, dt), rx_runs, 0)
-
-        def f_u(x, u, p):
-            return _slice_rows(self.ocp.step(x, u, p, dt), ru_runs, 0)
 
         def rho_x(x, u, p):
             return _slice_rows(self._stage_rho(x, u, p), gx_runs, 0)
@@ -249,7 +305,19 @@ class MSDDP:
         rho = jax.vmap(self._stage_rho)(Xs, U, p_stage)
         eye_rx = _slice_rows(jnp.eye(nx, dtype=X.dtype), rx_runs, 0)
         Sx = jax.vmap(jax.jacfwd(f_x, argnums=0))(Xs, U, p_stage) - eye_rx
-        Bs = jax.vmap(jax.jacfwd(f_u, argnums=1))(Xs, U, p_stage)
+        if uc_runs is None:
+            def f_u(x, u, p):
+                return _slice_rows(self.ocp.step(x, u, p, dt), ru_runs, 0)
+
+            Bs = jax.vmap(jax.jacfwd(f_u, argnums=1))(Xs, U, p_stage)
+        else:
+            # ocp.dynamics_u_cols: run the u-tangent passes only over the
+            # input entries the dynamics consume — Bs is (ns, |ru|, |uc|);
+            # the blocksparse backward scatters its contractions back
+            f_uc = self._dyn_u_cols_fn(ru_runs, uc_runs)
+            Bs = jax.vmap(jax.jacfwd(f_uc, argnums=1))(
+                Xs, _slice_rows(U, uc_runs, 1), U, p_stage
+            )
         Jxp = jax.vmap(jax.jacfwd(rho_x, argnums=0))(Xs, U, p_stage)
         Jup = jax.vmap(jax.jacfwd(rho_u, argnums=1))(Xs, U, p_stage)
 
@@ -474,6 +542,7 @@ class MSDDP:
                 if both else None
             )
             eye_rx = _slice_rows(jnp.eye(nx, dtype=dtype), rx_runs, 0)
+            uc_runs = self._u_col_runs()
 
             def node_ops(carry, Sx_, Bs_, Jxp_, Jup_, rxp_, rup_, d_):
                 Vx, Vxx = carry[0], carry[1]
@@ -490,12 +559,26 @@ class MSDDP:
                     lux = jnp.zeros((nu, nx, Bsz), dtype)
                 Vx_d = Vx + lm_matvec(Vxx, d_)
                 Qx = lx + Vx_d + lm_matvec_tn(Sx_, _slice_rows(Vx_d, rx_runs, 0))
-                Qu = lu + lm_matvec_tn(Bs_, _slice_rows(Vx_d, ru_runs, 0))
+                Qu_c = lm_matvec_tn(Bs_, _slice_rows(Vx_d, ru_runs, 0))
                 VA = Vxx + lm_matmul(_slice_rows(Vxx, rx_runs, 1), Sx_)
                 Qxx = lxx + VA + lm_matmul_tn(Sx_, _slice_rows(VA, rx_runs, 0))
                 V_uu = _slice_rows(_slice_rows(Vxx, ru_runs, 0), ru_runs, 1)
-                Quu = luu + lm_matmul_tn(Bs_, lm_matmul(V_uu, Bs_)) + eye_mu
-                Qux = lux + lm_matmul_tn(Bs_, _slice_rows(VA, ru_runs, 0))
+                Quu_c = lm_matmul_tn(Bs_, lm_matmul(V_uu, Bs_))
+                Qux_c = lm_matmul_tn(Bs_, _slice_rows(VA, ru_runs, 0))
+                if uc_runs is not None:
+                    # Bs_ carries only the declared-live columns
+                    # (ocp.dynamics_u_cols); scatter the B-chain terms back
+                    # into the full input dimension — the residual Grams
+                    # (lu/luu/lux) still cover every input, so the Q-terms
+                    # the gain solve sees are dense and exact
+                    Qu_c = _scatter_rows(Qu_c, uc_runs, nu, 0)
+                    Quu_c = _scatter_rows(
+                        _scatter_rows(Quu_c, uc_runs, nu, 0), uc_runs, nu, 1
+                    )
+                    Qux_c = _scatter_rows(Qux_c, uc_runs, nu, 0)
+                Qu = lu + Qu_c
+                Quu = luu + Quu_c + eye_mu
+                Qux = lux + Qux_c
                 return chain(carry, Qx, Qu, Qxx, Quu, Qux)
 
             if fused_inputs is not None:
@@ -511,9 +594,6 @@ class MSDDP:
                 def f_x(x, u, p):
                     return _slice_rows(self.ocp.step(x, u, p, dt), rx_runs, 0)
 
-                def f_u(x, u, p):
-                    return _slice_rows(self.ocp.step(x, u, p, dt), ru_runs, 0)
-
                 def rho_x_f(x, u, p):
                     return _slice_rows(self._stage_rho(x, u, p), gx_runs, 0)
 
@@ -522,9 +602,29 @@ class MSDDP:
 
                 lanes = dict(in_axes=(-1, -1, -1), out_axes=-1)
                 form_A = jax.vmap(jax.jacfwd(f_x, argnums=0), **lanes)
-                form_B = jax.vmap(jax.jacfwd(f_u, argnums=1), **lanes)
                 form_Jx = jax.vmap(jax.jacfwd(rho_x_f, argnums=0), **lanes)
                 form_Ju = jax.vmap(jax.jacfwd(rho_u_f, argnums=1), **lanes)
+                if uc_runs is None:
+                    def f_u(x, u, p):
+                        return _slice_rows(
+                            self.ocp.step(x, u, p, dt), ru_runs, 0
+                        )
+
+                    form_B0 = jax.vmap(jax.jacfwd(f_u, argnums=1), **lanes)
+
+                    def form_B(x_, u_, p_):
+                        return form_B0(x_, u_, p_)
+                else:
+                    f_uc = self._dyn_u_cols_fn(ru_runs, uc_runs)
+                    form_Bc = jax.vmap(
+                        jax.jacfwd(f_uc, argnums=1),
+                        in_axes=(-1, -1, -1, -1), out_axes=-1,
+                    )
+
+                    def form_B(x_, u_, p_):
+                        return form_Bc(
+                            x_, _slice_rows(u_, uc_runs, 0), u_, p_
+                        )
 
                 def node(carry, inp):
                     x_, u_, p_, rxp_, rup_, d_ = inp
@@ -556,9 +656,12 @@ class MSDDP:
                     d,
                 )
             else:
+                Bm_s = _slice_rows(Bm, ru_runs, 1)
+                if uc_runs is not None:
+                    Bm_s = _slice_rows(Bm_s, uc_runs, 2)
                 xs = (
                     _slice_rows(A, rx_runs, 1) - eye_rx[None, :, :, None],
-                    _slice_rows(Bm, ru_runs, 1),
+                    Bm_s,
                     _slice_rows(Jx, gx_runs, 1),
                     _slice_rows(Ju, gu_runs, 1),
                     _slice_rows(rho, gx_runs, 1),

@@ -162,3 +162,31 @@ def test_solver_fast_path_matches_ad_path():
     np.testing.assert_allclose(
         np.asarray(outs[0].X), np.asarray(outs[1].X), rtol=1e-7, atol=1e-9
     )
+
+
+def test_dynamics_u_col_sparsity_metadata_complete():
+    """Columns NOT in dynamics_u_cols must be identically-zero columns of
+    B. For isrbd the forces are pure residual/constraint variables — only
+    the acceleration inputs drive the double integrator
+    (isrbd_example.py:109-135) — and the column-sparse backward relies on
+    the declaration being complete."""
+    from srbd_horizon_tpu.problems.isrbd import build_isrbd_problem
+
+    cfg = SRBDConfig(dtype=jnp.float64)
+    prob = build_isrbd_problem(cfg, kangaroo_line_feet())
+    ocp = prob.ocp
+    assert ocp.dynamics_u_cols is not None
+    rng = np.random.RandomState(3)
+    for _ in range(3):
+        x = jnp.asarray(
+            np.asarray(prob.initial_state) + 0.05 * rng.standard_normal(ocp.nx)
+        )
+        u = jnp.asarray(
+            np.asarray(prob.static_input) + 0.3 * rng.standard_normal(ocp.nu)
+        )
+        p = {k: jnp.asarray(v[2]) for k, v in ocp.params.items()}
+        B = np.asarray(jax.jacfwd(lambda u_: ocp.step(x, u_, p, ocp.dt))(u))
+        dead = sorted(set(range(ocp.nu)) - set(ocp.dynamics_u_cols))
+        live = sorted(ocp.dynamics_u_cols)
+        assert np.all(B[:, dead] == 0.0)
+        assert np.any(B[:, live] != 0.0)

@@ -294,3 +294,65 @@ class TestFanCompaction:
             np.testing.assert_array_equal(
                 np.asarray(out_c.X[i]), np.asarray(out_f.X[i])
             )
+
+
+class TestDynamicsColumnSparsity:
+    """ocp.dynamics_u_cols (isrbd: 12 of 30 B columns are dead — forces
+    never enter the double-integrator dynamics): the column-sparse
+    B-chain contractions + static scatters must reproduce the dense-column
+    path exactly across every blocksparse input variant."""
+
+    def _setup(self, B=4):
+        from srbd_horizon_tpu.problems.isrbd import build_isrbd_problem
+
+        cfg = SRBDConfig(dtype=jnp.float64)
+        prob = build_isrbd_problem(cfg, kangaroo_line_feet())
+        x0 = jnp.tile(prob.initial_state[None], (B, 1))
+        x0 = x0.at[:, 0].add(jnp.linspace(-0.02, 0.02, B))
+        x0 = x0.at[:, 19].add(jnp.linspace(0.0, 0.2, B))  # push rdot_x
+        params = jax.tree.map(
+            lambda a: jnp.tile(a[None], (B,) + (1,) * a.ndim),
+            prob.ocp.params,
+        )
+        opts = dict(
+            max_iters=6, alpha_converge_threshold=1e-12, beta=1e-3,
+            linearize_sliced=True, backward_contract="blocksparse",
+        )
+        return prob, x0, params, opts
+
+    def _run(self, ocp, x0, params, opts):
+        s = MSDDP(ocp, DDPOptions(**opts))
+        sols = jax.vmap(s.init)(x0)
+        return s.solve_batch(sols, x0, params)
+
+    def test_col_sparse_matches_dense_cols(self):
+        import dataclasses
+
+        prob, x0, params, base = self._setup()
+        assert prob.ocp.dynamics_u_cols is not None
+        ocp_dense = dataclasses.replace(prob.ocp, dynamics_u_cols=None)
+        for overrides in (
+            {},                                    # sliced linearize
+            {"linearize_fused_backward": True},    # in-scan formation
+            {"linearize_lane_out": True},          # lane-major emission
+            {"linearize_sliced": False},           # dense-input blocksparse
+        ):
+            opts = {**base, **overrides}
+            got = self._run(prob.ocp, x0, params, opts)
+            ref = self._run(ocp_dense, x0, params, opts)
+            np.testing.assert_allclose(
+                np.asarray(got.X), np.asarray(ref.X), rtol=1e-9, atol=1e-12,
+                err_msg=str(overrides),
+            )
+            np.testing.assert_allclose(
+                np.asarray(got.U), np.asarray(ref.U), rtol=1e-9, atol=1e-12,
+                err_msg=str(overrides),
+            )
+            np.testing.assert_allclose(
+                np.asarray(got.cost), np.asarray(ref.cost), rtol=1e-12,
+                err_msg=str(overrides),
+            )
+            np.testing.assert_array_equal(
+                np.asarray(got.iterations), np.asarray(ref.iterations),
+                err_msg=str(overrides),
+            )
