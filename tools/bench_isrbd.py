@@ -13,9 +13,12 @@ over B fleet members at once. Requires the f32 serving configuration
 Prints one JSON line: ticks/s × B = constrained solves/s, plus the
 fleet max violation trace endpoints (sanity: bounded, not drifting).
 
-Usage: python tools/bench_isrbd.py [batch] [ticks] [--dense]
-  --dense  strip the OCP's sparsity metadata (A/B baseline: dense inner
-           linearize + dense backward contraction)
+Usage: python tools/bench_isrbd.py [batch] [ticks] [--dense] [--no-ucols]
+  --dense     strip the OCP's sparsity metadata (A/B baseline: dense inner
+              linearize + dense backward contraction)
+  --no-ucols  strip only dynamics_u_cols (isolates the input-column
+              sparsity win: forces are dead B columns in the isrbd
+              double-integrator dynamics)
 """
 
 import json
@@ -30,8 +33,9 @@ import jax.numpy as jnp
 
 
 def main():
-    args = [a for a in sys.argv[1:] if a != "--dense"]
+    args = [a for a in sys.argv[1:] if a not in ("--dense", "--no-ucols")]
     dense = "--dense" in sys.argv[1:]
+    no_ucols = "--no-ucols" in sys.argv[1:]
     batch = int(args[0]) if len(args) > 0 else 1024
     n_ticks = int(args[1]) if len(args) > 1 else 30
 
@@ -54,8 +58,15 @@ def main():
                 prob.ocp,
                 residual_x_rows=None, residual_u_rows=None,
                 dynamics_x_rows=None, dynamics_u_rows=None,
+                dynamics_u_cols=None,
                 ineq_x_rows=None, ineq_u_rows=None,
             ),
+        )
+    elif no_ucols:
+        import dataclasses
+
+        prob = dataclasses.replace(
+            prob, ocp=dataclasses.replace(prob.ocp, dynamics_u_cols=None)
         )
     ddp_off, al_off = al_serving_options(max_iters=15)
     offline = ALDDP(prob.ocp, ddp_opts=ddp_off, al_opts=al_off)
@@ -119,7 +130,7 @@ def main():
         "final_viol_max": viol_max,
         "finite": bool(jnp.all(jnp.isfinite(st.sol.X))),
         "dtype": "float32",
-        "inner": "dense" if dense else "sparse",
+        "inner": "dense" if dense else ("sparse_no_ucols" if no_ucols else "sparse"),
     }
     print(json.dumps(out))
 
