@@ -260,3 +260,56 @@ def render_matplotlib(
         fig.savefig(out_path, dpi=110)
         plt.close(fig)
     return fig
+
+
+def render_series_svg(
+    path: str,
+    series,
+    title: str = "",
+    width: int = 900,
+    panel_height: int = 160,
+) -> None:
+    """Generic stacked time-series panels (one per (label, values) pair),
+    each with its own y-scale and min/max annotations — the quick-look
+    renderer for user-defined problems (the /solution_time-style scalar
+    telemetry role, dsrbd_example.py:45,134-136) without requiring the
+    walking-telemetry schema render_walk_svg expects."""
+    pad = 42
+    n = len(series)
+    height = 30 + n * panel_height
+    parts = [
+        f'<svg xmlns="http://www.w3.org/2000/svg" width="{width}" '
+        f'height="{height}" style="background:#ffffff">'
+    ]
+    if title:
+        parts.append(
+            f'<text x="{width / 2:.0f}" y="18" text-anchor="middle" '
+            f'font-family="sans-serif" font-size="13">{title}</text>'
+        )
+    for i, (label, vals) in enumerate(series):
+        v = np.asarray(vals, float).ravel()
+        top = 30 + i * panel_height
+        bot = top + panel_height - 24
+        v0, v1 = float(v.min()), float(v.max())
+        span = max(v1 - v0, 1e-12)
+        xs = pad + (width - 2 * pad) * np.arange(v.size) / max(v.size - 1, 1)
+        ys = bot - (bot - top - 14) * (v - v0) / span
+        color = PALETTE[i % len(PALETTE)]
+        parts.append(
+            f'<rect x="{pad}" y="{top}" width="{width - 2 * pad}" '
+            f'height="{bot - top}" fill="none" stroke="#ddd"/>'
+        )
+        if v0 < 0.0 < v1:
+            yz = bot - (bot - top - 14) * (0.0 - v0) / span
+            parts.append(
+                f'<line x1="{pad}" y1="{yz:.2f}" x2="{width - pad}" '
+                f'y2="{yz:.2f}" stroke="#bbb" stroke-dasharray="4,3"/>'
+            )
+        parts.append(_svg_polyline(list(zip(xs, ys)), color))
+        parts.append(
+            f'<text x="{pad}" y="{top + 12}" font-family="sans-serif" '
+            f'font-size="11" fill="{color}">{label}  '
+            f'[{v0:.3g}, {v1:.3g}]</text>'
+        )
+    parts.append("</svg>")
+    pathlib.Path(path).write_text("\n".join(parts))
