@@ -205,7 +205,10 @@ class DDPOptions:
     # With the sliced linearize: emit the Jacobian stacks LANE-MAJOR
     # (vmap out_axes=-1) so the backward scan consumes them without its
     # own transpose round-trip (scan xs must be materialized, so the
-    # moveaxis copies are real HBM traffic). Experimental A/B knob.
+    # moveaxis copies are real HBM traffic). Measured a WASH on TPU
+    # v5e-lite (B=4096 heterogeneous fleet: 11984 → 11999 solve/s,
+    # +0.1% — XLA already fuses the layout change into the producer);
+    # kept as a validated A/B knob, default off.
     linearize_lane_out: bool = False
     # Form the stage Jacobians INSIDE the backward scan (per node, per
     # lane) instead of materializing Sx/Bs/Jxp/Jup stacks in HBM between
@@ -217,8 +220,16 @@ class DDPOptions:
     # solver is HBM-bandwidth bound (~100 GB/s effective on v5e-lite,
     # calibrated from the linearize_sliced win), so trading a second
     # (in-scan) formation of the Jacobians for never writing/reading
-    # them may pay. Experimental A/B knob; requires the sliced gate
-    # (blocksparse + declared rows) and f32 (bf16 formation excluded).
+    # them may pay. MEASURED AND REJECTED on TPU v5e-lite (B=4096
+    # heterogeneous fleet: 11984 → 10465 solve/s, −13%): the bytes win
+    # is real but the phase-separated linearize forms all 20 nodes'
+    # Jacobians in one data-parallel vmap, while the in-scan formation
+    # serializes that work into the 20-step sequential sweep — the
+    # dependency chain lengthens by a full jacfwd per node, which costs
+    # more than the saved HBM round-trip. Kept as a validated opt-in
+    # (equal-to-rounding results) for backends where dispatch/bandwidth
+    # ratios differ; requires the sliced gate (blocksparse + declared
+    # rows) and f32 (bf16 formation excluded).
     linearize_fused_backward: bool = False
     # Linearization arithmetic ("f32" | "bf16"): with "bf16" the stage
     # Jacobians/residuals are FORMED in bfloat16 (inputs cast down, jacfwd
