@@ -4,7 +4,7 @@ available accelerator.
 Prints ONE JSON line:
   {"metric": "srbd_mpc_solves_per_s", "value": N, "unit": "solve/s",
    "vs_baseline": N / 10.0,
-   "p50_ms": ..., "p99_ms": ..., "realtime_batch": 256, "realtime_ok": ...,
+   "p50_ms": ..., "p99_ms": ..., "realtime_batch": 512, "realtime_ok": ...,
    "throughput": {...}, ...}
 
 Baseline semantics: the reference publishes no numbers (BASELINE.md); its
@@ -14,7 +14,7 @@ single serial solver instance (dsrbd_example.py:48) ⇒ baseline = 10 solves/s.
 
 Two operating points, both measured (BASELINE.md target table):
   - THROUGHPUT (headline `value`): B=4096, maximize solves/s.
-  - LATENCY: B=256, per-tick p50/p99 vs the 100 ms replanning budget
+  - LATENCY: B=512, per-tick p50/p99 vs the 100 ms replanning budget
     (dsrbd_example.py:48: hz=10); `realtime_ok` gates on the p50 (each
     sample pays one tunnel RTT and network spikes land in the p99 —
     see the inline comment at the realtime_ok field).
@@ -143,9 +143,12 @@ def _rtt_ms() -> float:
 
 
 def main(batch: int = 4096, n_ticks: int = 10, ns: int = 20,
-         max_iters: int = 5, realtime_batch: int = 256) -> None:
-    # LATENCY operating point: B=256, per-tick p50/p99 vs the 100 ms
-    # budget; 100 ticks so the p99 is a statistic, not the sample max
+         max_iters: int = 5, realtime_batch: int = 512) -> None:
+    # LATENCY operating point: B=512, per-tick p50/p99 vs the 100 ms
+    # budget; 100 ticks so the p99 is a statistic, not the sample max.
+    # 512 is the largest power-of-two fleet that clears the budget:
+    # measured p50 64.1 / p99 67.8 ms (B=256: p50 44.4 / p99 50.1; B=1024
+    # at ~253 ms/tick is far past it — BENCH_NOTES.md batch scaling)
     lat_times, lat_finite, lat_defect, lat_iters = _measure(
         realtime_batch, max(100, n_ticks), ns, max_iters
     )
