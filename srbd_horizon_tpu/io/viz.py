@@ -8,6 +8,9 @@ matplotlib figures when available:
     the contact points (the per-contact WrenchStamped publications on
     /fc0../fc7, reference viz.py:29-37, provisioned as 8 wrench displays
     in launch/SRBD_horizon.rviz:156-261)
+  - the base inertia ellipsoid at the final CoM (the SRBDViewer sphere
+    marker scaled by the inertia diagonal, reference viz.py:39-77 — here
+    normalized to a readable footprint instead of raw kg·m² as meters)
   - solve-time series (/solution_time) and shooting-defect series
 """
 
@@ -97,13 +100,16 @@ def render_walk_svg(
     height: int = 500,
     force_scaling: float = 1000.0,
     n_force_arrows: int = 16,
+    inertia: Optional[np.ndarray] = None,
 ) -> None:
     """Top-down (x,y) and side (x,z) views of the CoM and contact
     trajectories from recorded closed-loop states (`telemetry['x']` of
     shape (T, nx)); when applied inputs (`telemetry['u0']`) are present
     for a force-bearing model, adds per-contact force arrows on the views
     and a vertical-force time-series panel (the /fc* wrench displays,
-    reference viz.py:29-37)."""
+    reference viz.py:29-37). `inertia` (3,) diagonal draws the base
+    inertia ellipsoid at the final CoM (the SRBDViewer marker,
+    reference viz.py:39-77)."""
     X = np.asarray(telemetry["x"])
     r = X[:, 0:3]
     c_off = 3 if state_kind == "lip" else 7
@@ -162,6 +168,25 @@ def render_walk_svg(
                         y0p - fb / f_max * arrow_px,
                         color,
                     ))
+        if inertia is not None:
+            # inertia ellipsoid at the final CoM (SRBDViewer, reference
+            # viz.py:39-77): radii ∝ inertia diagonal in this view's
+            # axes, normalized so the largest axis spans 0.3 m
+            I3 = np.asarray(inertia, float).ravel()[:3]
+            rw = 0.3 * I3 / max(float(I3.max()), 1e-12)
+            cxy = r[-1]
+            ref = np.array([
+                [cxy[a], cxy[b]],
+                [cxy[a] + rw[a], cxy[b] + rw[b]],
+            ])
+            (exs, eys) = proj(ref)
+            rx_px = abs(exs[1] - exs[0])
+            ry_px = abs(eys[1] - eys[0])
+            parts.append(
+                f'<ellipse cx="{exs[0]:.2f}" cy="{eys[0]:.2f}" '
+                f'rx="{max(rx_px, 1.0):.2f}" ry="{max(ry_px, 1.0):.2f}" '
+                f'fill="#888888" fill-opacity="0.25" stroke="#555555"/>'
+            )
         parts.append("</g>")
 
     if forces is not None:
@@ -201,9 +226,12 @@ def render_matplotlib(
     nc: int = 4,
     state_kind: str = "lip",
     force_scaling: float = 1000.0,
+    inertia: Optional[np.ndarray] = None,
 ):
     """Richer diagnostics when matplotlib is available: trajectories,
-    per-contact forces (series + top-view quiver), solve times, defects."""
+    per-contact forces (series + top-view quiver), solve times, defects,
+    and the base inertia ellipsoid at the final CoM when `inertia` (3,)
+    is given (the SRBDViewer marker, reference viz.py:39-77)."""
     import matplotlib
 
     matplotlib.use("Agg")
@@ -224,6 +252,15 @@ def render_matplotlib(
     for i in range(nc):
         c = X[:, c_off + 3 * i : c_off + 3 * i + 3]
         axes[0, 0].plot(c[:, 0], c[:, 1], lw=1, label=f"c{i}")
+    if inertia is not None:
+        from matplotlib.patches import Ellipse
+
+        I3 = np.asarray(inertia, float).ravel()[:3]
+        rw = 0.3 * I3 / max(float(I3.max()), 1e-12)
+        axes[0, 0].add_patch(Ellipse(
+            (r[-1, 0], r[-1, 1]), 2 * rw[0], 2 * rw[1],
+            facecolor="#888888", alpha=0.3, edgecolor="#555555",
+        ))
     axes[0, 0].set_title("top view")
     axes[0, 0].legend(fontsize=7)
     axes[0, 1].plot(r[:, 2], label="CoM z")

@@ -92,6 +92,17 @@ class TestViz:
         # fz series: 4 more polylines in the force panel
         assert content.count("polyline") >= 14
 
+    def test_svg_inertia_ellipsoid(self, tmp_path):
+        """`inertia` must draw the SRBDViewer marker (reference
+        viz.py:39-77): one ellipse per view at the final CoM."""
+        p = tmp_path / "walk_inertia.svg"
+        render_walk_svg(
+            str(p), self._srbd_telemetry(), state_kind="srbd",
+            inertia=np.array([2.1, 1.8, 0.62]),
+        )
+        content = p.read_text()
+        assert content.count("<ellipse") == 2  # top + side view
+
     def test_matplotlib(self, tmp_path):
         p = tmp_path / "walk.png"
         render_matplotlib(self._telemetry(), str(p))
@@ -100,7 +111,8 @@ class TestViz:
     def test_matplotlib_forces(self, tmp_path):
         p = tmp_path / "walk_srbd.png"
         fig = render_matplotlib(
-            self._srbd_telemetry(), str(p), state_kind="srbd"
+            self._srbd_telemetry(), str(p), state_kind="srbd",
+            inertia=np.array([2.1, 1.8, 0.62]),
         )
         assert p.exists() and p.stat().st_size > 1000
 
