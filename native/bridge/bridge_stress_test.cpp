@@ -1,0 +1,117 @@
+// Sanitizer stress harness for libsrbd_bridge (SURVEY.md §5.2 — the
+// race-detection/sanitizer subsystem the reference never needed because it
+// had no native code; this runtime ships a lock-free SPSC shared-memory
+// ring, so its concurrency contract is machine-checked here).
+//
+// Build + run under TSan and ASan/UBSan via `make -C native/bridge
+// sanitize` (tests/test_bridge.py drives it). Exercises:
+//   1. the SPSC ring's release/acquire protocol with a real concurrent
+//      producer/consumer pair on ONE mapping (the supported topology:
+//      TSan only models happens-before within a single address range),
+//      with wraparound (capacity far smaller than total traffic) and
+//      content verification of every record;
+//   2. the UDP pub/sub framing end-to-end on loopback.
+//
+// Exits 0 iff every record arrived intact in order; any data race /
+// UB / heap error is reported by the sanitizer runtime (non-zero exit).
+
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <thread>
+
+extern "C" {
+void* ring_create(const char* name, uint64_t capacity, int create);
+int ring_push(void* h, const void* data, uint32_t len);
+int ring_pop(void* h, void* buf, uint32_t buf_cap);
+void ring_destroy(void* h);
+void* bridge_pub_create(const char* host, int port);
+int bridge_pub_send(void* h, const char* topic, const void* data, int len);
+void bridge_pub_destroy(void* h);
+void* bridge_sub_create(int port);
+int bridge_sub_poll(void* h, char* topic_buf, int topic_cap, void* buf,
+                    int buf_cap, int timeout_ms);
+void bridge_sub_destroy(void* h);
+}
+
+namespace {
+
+constexpr uint32_t kRecords = 200000;
+constexpr uint64_t kCapacity = 1 << 12;  // tiny: forces constant wraparound
+
+struct Record {
+  uint32_t seq;
+  uint32_t check;
+};
+
+int run_ring_stress() {
+  void* ring = ring_create("/srbd_bridge_stress", kCapacity, 1);
+  if (!ring) {
+    fprintf(stderr, "ring_create failed\n");
+    return 1;
+  }
+  int errors = 0;
+
+  std::thread consumer([&] {
+    Record r{};
+    uint32_t expect = 0;
+    while (expect < kRecords) {
+      int n = ring_pop(ring, &r, sizeof(r));
+      if (n == 0) {
+        std::this_thread::yield();
+        continue;
+      }
+      if (n != sizeof(r) || r.seq != expect ||
+          r.check != (r.seq ^ 0xdeadbeefu)) {
+        errors++;
+        break;
+      }
+      expect++;
+    }
+  });
+
+  for (uint32_t seq = 0; seq < kRecords; seq++) {
+    Record r{seq, seq ^ 0xdeadbeefu};
+    while (ring_push(ring, &r, sizeof(r)) != 0) std::this_thread::yield();
+  }
+  consumer.join();
+  ring_destroy(ring);
+  if (errors) fprintf(stderr, "ring: %d corrupted/out-of-order records\n",
+                      errors);
+  return errors;
+}
+
+int run_udp_roundtrip() {
+  const int port = 47561;
+  void* sub = bridge_sub_create(port);
+  void* pub = bridge_pub_create("127.0.0.1", port);
+  if (!sub || !pub) {
+    fprintf(stderr, "udp setup failed\n");
+    return 1;
+  }
+  const char payload[] = "sanitizer roundtrip";
+  int rc = 1;
+  // UDP on loopback is reliable in practice but not guaranteed: retry
+  for (int attempt = 0; attempt < 5 && rc != 0; attempt++) {
+    bridge_pub_send(pub, "stress", payload, sizeof(payload));
+    char topic[64];
+    char buf[128];
+    int n = bridge_sub_poll(sub, topic, sizeof(topic), buf, sizeof(buf), 500);
+    if (n == (int)sizeof(payload) && strcmp(topic, "stress") == 0 &&
+        memcmp(buf, payload, n) == 0)
+      rc = 0;
+  }
+  bridge_pub_destroy(pub);
+  bridge_sub_destroy(sub);
+  if (rc) fprintf(stderr, "udp roundtrip failed\n");
+  return rc;
+}
+
+}  // namespace
+
+int main() {
+  int rc = run_ring_stress() + run_udp_roundtrip();
+  if (rc == 0) printf("bridge stress: OK (%u records, udp roundtrip)\n",
+                      kRecords);
+  return rc;
+}

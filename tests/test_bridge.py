@@ -99,3 +99,34 @@ class TestShmRing:
                 assert ring.pop() == msg
         finally:
             ring.close()
+
+
+class TestSanitizers:
+    """SURVEY.md §5.2 (race detection / sanitizers): the SPSC ring's
+    release/acquire protocol and the UDP framing, machine-checked under
+    ThreadSanitizer and AddressSanitizer+UBSan. The harness
+    (native/bridge/bridge_stress_test.cpp) runs a real concurrent
+    producer/consumer pair through 200k records on a deliberately tiny
+    (constant-wraparound) ring and verifies every record's content."""
+
+    @pytest.mark.skipif(not HAS_TOOLCHAIN, reason="no g++")
+    @pytest.mark.parametrize("binary", ["bridge_tsan_test", "bridge_asan_test"])
+    def test_stress_under_sanitizer(self, binary):
+        import pathlib
+        import subprocess
+
+        bridge_dir = pathlib.Path(__file__).resolve().parents[1] / "native" / "bridge"
+        build = subprocess.run(
+            ["make", "-s", "-C", str(bridge_dir), binary],
+            capture_output=True, text=True,
+        )
+        if build.returncode != 0:
+            pytest.skip(f"sanitizer build unavailable: {build.stderr[-200:]}")
+        run = subprocess.run(
+            [str(bridge_dir / binary)], capture_output=True, text=True,
+            timeout=300,
+        )
+        assert run.returncode == 0, (
+            f"{binary} failed:\n{run.stdout[-1000:]}\n{run.stderr[-2000:]}"
+        )
+        assert "OK" in run.stdout
