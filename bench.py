@@ -12,12 +12,15 @@ only implicit performance fact is the 10 Hz real-time replanning budget of a
 single serial solver instance (dsrbd_example.py:48) ⇒ baseline = 10 solves/s.
 `vs_baseline` is therefore (batched solves/s) / 10.
 
-Two operating points, both measured (BASELINE.md target table):
+Three operating points, all measured (BASELINE.md target table):
   - THROUGHPUT (headline `value`): B=4096, maximize solves/s.
   - LATENCY: B=512, per-tick p50/p99 vs the 100 ms replanning budget
     (dsrbd_example.py:48: hz=10); `realtime_ok` gates on the p50 (each
     sample pays one tunnel RTT and network spikes land in the p99 —
     see the inline comment at the realtime_ok field).
+  - CONSTRAINED (`constrained` field): the full-NLP isrbd AL-serving
+    fleet (tools/bench_isrbd.py) at its sweet-spot batch B=256 — the
+    reference's IPOPT/gnsqp workload.
 
 The measured unit of work is one full warm-started MPC tick of the
 dsrbd_example.py loop (reference-shift + WPG advance + MS-DDP solve with the
@@ -195,6 +198,19 @@ def main(batch: int = 4096, n_ticks: int = 10, ns: int = 20,
     }
     # sanity: a warm MPC tick must actually iterate the solver
     result["suspect"] = bool(iters_mean < 0.5 or not result["finite"])
+
+    # CONSTRAINED operating point (the reference's IPOPT/gnsqp isrbd
+    # workload at fleet scale): full-NLP AL serving at its measured
+    # sweet-spot batch (BENCH_NOTES.md round 2e). Guarded so a failure
+    # here can never break the headline metric.
+    try:
+        sys.path.insert(0, str(__import__("pathlib").Path(__file__).parent))
+        from tools.bench_isrbd import measure as _constrained_measure
+
+        result["constrained"] = _constrained_measure(batch=256, n_ticks=20)
+    except Exception as e:  # pragma: no cover - defensive
+        result["constrained"] = {"error": str(e)[:200]}
+
     print(json.dumps(result))
 
 

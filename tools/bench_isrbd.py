@@ -12,6 +12,10 @@ over B fleet members at once. Requires the f32 serving configuration
 
 Prints one JSON line: ticks/s × B = constrained solves/s, plus the
 fleet max violation trace endpoints (sanity: bounded, not drifting).
+Chained-dispatch timing (one device sync after N ticks): a throughput
+number, not a per-tick latency. Measured sweet spot is SMALL batch
+(B=256) — the hybrid-dynamics + multiplier working set falls out of
+cache past B≈512 (BENCH_NOTES.md round 2e).
 
 Usage: python tools/bench_isrbd.py [batch] [ticks] [--dense] [--no-ucols]
   --dense     strip the OCP's sparsity metadata (A/B baseline: dense inner
@@ -32,13 +36,10 @@ import jax
 import jax.numpy as jnp
 
 
-def main():
-    args = [a for a in sys.argv[1:] if a not in ("--dense", "--no-ucols")]
-    dense = "--dense" in sys.argv[1:]
-    no_ucols = "--no-ucols" in sys.argv[1:]
-    batch = int(args[0]) if len(args) > 0 else 1024
-    n_ticks = int(args[1]) if len(args) > 1 else 30
-
+def measure(batch: int = 1024, n_ticks: int = 30, dense: bool = False,
+            no_ucols: bool = False) -> dict:
+    """Run the constrained fleet benchmark; returns the result dict
+    (importable — bench.py embeds this as its `constrained` field)."""
     from srbd_horizon_tpu.config import SRBDConfig
     from srbd_horizon_tpu.models.kangaroo import kangaroo_line_feet
     from srbd_horizon_tpu.problems.isrbd import build_isrbd_problem
@@ -120,7 +121,7 @@ def main():
     dt_s = (time.perf_counter() - t0) / n_ticks
 
     viol_max = float(jnp.max(st.viol))
-    out = {
+    return {
         "metric": "isrbd_constrained_solves_per_s",
         "value": round(B / dt_s, 1),
         "unit": "solve/s",
@@ -132,7 +133,15 @@ def main():
         "dtype": "float32",
         "inner": "dense" if dense else ("sparse_no_ucols" if no_ucols else "sparse"),
     }
-    print(json.dumps(out))
+
+
+def main():
+    args = [a for a in sys.argv[1:] if a not in ("--dense", "--no-ucols")]
+    dense = "--dense" in sys.argv[1:]
+    no_ucols = "--no-ucols" in sys.argv[1:]
+    batch = int(args[0]) if len(args) > 0 else 1024
+    n_ticks = int(args[1]) if len(args) > 1 else 30
+    print(json.dumps(measure(batch, n_ticks, dense=dense, no_ucols=no_ucols)))
 
 
 if __name__ == "__main__":
