@@ -9,7 +9,8 @@ matplotlib figures when available:
     /fc0../fc7, reference viz.py:29-37, provisioned as 8 wrench displays
     in launch/SRBD_horizon.rviz:156-261)
   - the base inertia ellipsoid at the final CoM (the SRBDViewer sphere
-    marker scaled by the inertia diagonal, reference viz.py:39-77 — here
+    marker, reference viz.py:39-77; axis i spans the sum of the other two
+    inertia diagonal entries over the trace, viz.py:50-53 — here
     normalized to a readable footprint instead of raw kg·m² as meters)
   - solve-time series (/solution_time) and shooting-defect series
 """
@@ -43,6 +44,19 @@ def extract_contact_forces(
         f = u0[:, 6 : 6 + 6 * nc].reshape(u0.shape[0], nc, 6)[:, :, 3:6]
         return f
     return None
+
+
+def _inertia_ellipsoid_radii(inertia) -> np.ndarray:
+    """SRBDViewer axis rule (reference viz.py:50-53): axis i of the
+    rendered ellipsoid is 0.5·(sum of the OTHER two inertia diagonal
+    entries)/trace — inertia about an axis measures mass spread in the
+    orthogonal plane, so a pancake body (large Izz) must render flat in
+    z. Returned radii are normalized so the largest is 1; callers apply
+    their own absolute footprint scale."""
+    I3 = np.asarray(inertia, float).ravel()[:3]
+    tr = max(float(I3.sum()), 1e-12)
+    rw = 0.5 * np.array([I3[2] + I3[1], I3[2] + I3[0], I3[0] + I3[1]]) / tr
+    return rw / max(float(rw.max()), 1e-12)
 
 
 def _svg_polyline(pts, color, width=1.5, opacity=1.0):
@@ -170,10 +184,11 @@ def render_walk_svg(
                     ))
         if inertia is not None:
             # inertia ellipsoid at the final CoM (SRBDViewer, reference
-            # viz.py:39-77): radii ∝ inertia diagonal in this view's
-            # axes, normalized so the largest axis spans 0.3 m
-            I3 = np.asarray(inertia, float).ravel()[:3]
-            rw = 0.3 * I3 / max(float(I3.max()), 1e-12)
+            # viz.py:50-53): axis i scales with the sum of the OTHER two
+            # diagonal entries over the trace (a flat body with large Izz
+            # renders as a pancake, not a z-spike), normalized so the
+            # largest axis spans 0.3 m
+            rw = 0.3 * _inertia_ellipsoid_radii(inertia)
             cxy = r[-1]
             ref = np.array([
                 [cxy[a], cxy[b]],
@@ -255,8 +270,9 @@ def render_matplotlib(
     if inertia is not None:
         from matplotlib.patches import Ellipse
 
-        I3 = np.asarray(inertia, float).ravel()[:3]
-        rw = 0.3 * I3 / max(float(I3.max()), 1e-12)
+        # SRBDViewer axis rule (reference viz.py:50-53) — see
+        # _inertia_ellipsoid_radii
+        rw = 0.3 * _inertia_ellipsoid_radii(inertia)
         axes[0, 0].add_patch(Ellipse(
             (r[-1, 0], r[-1, 1]), 2 * rw[0], 2 * rw[1],
             facecolor="#888888", alpha=0.3, edgecolor="#555555",

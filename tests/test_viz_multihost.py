@@ -103,6 +103,19 @@ class TestViz:
         content = p.read_text()
         assert content.count("<ellipse") == 2  # top + side view
 
+    def test_inertia_axis_rule(self):
+        """SRBDViewer axis rule (reference viz.py:50-53): axis i spans
+        0.5·(sum of the OTHER two diagonal entries)/trace — a pancake
+        body (large Izz) must render FLAT in z, not z-elongated."""
+        from srbd_horizon_tpu.io.viz import _inertia_ellipsoid_radii
+
+        pancake = np.array([1.0, 1.0, 2.0])  # mass spread in xy plane
+        rw = _inertia_ellipsoid_radii(pancake)
+        assert rw[2] < rw[0] and rw[2] < rw[1]
+        # exact rule: rw ∝ [Iz+Iy, Iz+Ix, Ix+Iy] / trace
+        expect = np.array([3.0, 3.0, 2.0]) / 4.0
+        np.testing.assert_allclose(rw, expect / expect.max(), atol=1e-12)
+
     def test_matplotlib(self, tmp_path):
         p = tmp_path / "walk.png"
         render_matplotlib(self._telemetry(), str(p))
