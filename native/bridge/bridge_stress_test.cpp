@@ -15,10 +15,12 @@
 // Exits 0 iff every record arrived intact in order; any data race /
 // UB / heap error is reported by the sanitizer runtime (non-zero exit).
 
+#include <atomic>
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
 #include <thread>
+#include <unistd.h>
 
 extern "C" {
 void* ring_create(const char* name, uint64_t capacity, int create);
@@ -45,12 +47,21 @@ struct Record {
 };
 
 int run_ring_stress() {
-  void* ring = ring_create("/srbd_bridge_stress", kCapacity, 1);
+  // PID-derived name: the TSan and ASan binaries (and overlapping CI
+  // jobs) must not collide on one shm object.
+  char shm_name[64];
+  snprintf(shm_name, sizeof(shm_name), "/srbd_bridge_stress.%d",
+           (int)getpid());
+  void* ring = ring_create(shm_name, kCapacity, 1);
   if (!ring) {
     fprintf(stderr, "ring_create failed\n");
     return 1;
   }
-  int errors = 0;
+  std::atomic<int> errors{0};
+  // Set by the consumer on a corrupted record so the producer's
+  // push-retry loop exits instead of spinning forever against a full
+  // ring (the consumer is gone; nothing would ever drain it).
+  std::atomic<bool> abort_flag{false};
 
   std::thread consumer([&] {
     Record r{};
@@ -63,26 +74,34 @@ int run_ring_stress() {
       }
       if (n != sizeof(r) || r.seq != expect ||
           r.check != (r.seq ^ 0xdeadbeefu)) {
-        errors++;
+        errors.fetch_add(1, std::memory_order_relaxed);
+        abort_flag.store(true, std::memory_order_release);
         break;
       }
       expect++;
     }
   });
 
-  for (uint32_t seq = 0; seq < kRecords; seq++) {
+  for (uint32_t seq = 0;
+       seq < kRecords && !abort_flag.load(std::memory_order_acquire);
+       seq++) {
     Record r{seq, seq ^ 0xdeadbeefu};
-    while (ring_push(ring, &r, sizeof(r)) != 0) std::this_thread::yield();
+    while (ring_push(ring, &r, sizeof(r)) != 0) {
+      if (abort_flag.load(std::memory_order_acquire)) break;
+      std::this_thread::yield();
+    }
   }
   consumer.join();
   ring_destroy(ring);
-  if (errors) fprintf(stderr, "ring: %d corrupted/out-of-order records\n",
-                      errors);
-  return errors;
+  int n_errors = errors.load(std::memory_order_relaxed);
+  if (n_errors)
+    fprintf(stderr, "ring: %d corrupted/out-of-order records\n", n_errors);
+  return n_errors;
 }
 
 int run_udp_roundtrip() {
-  const int port = 47561;
+  // PID-derived port for the same concurrent-runs reason as the shm name.
+  const int port = 47000 + (int)(getpid() % 1000);
   void* sub = bridge_sub_create(port);
   void* pub = bridge_pub_create("127.0.0.1", port);
   if (!sub || !pub) {

@@ -18,11 +18,17 @@ number, not a per-tick latency. Measured sweet spot is SMALL batch
 cache past B≈512 (BENCH_NOTES.md round 2e).
 
 Usage: python tools/bench_isrbd.py [batch] [ticks] [--dense] [--no-ucols]
+                                   [--sync]
   --dense     strip the OCP's sparsity metadata (A/B baseline: dense inner
               linearize + dense backward contraction)
   --no-ucols  strip only dynamics_u_cols (isolates the input-column
               sparsity win: forces are dead B columns in the isrbd
               double-integrator dynamics)
+  --sync      per-tick device sync: reports p50/p99 tick latency (the
+              real-time number) instead of chained-dispatch throughput
+  --chunk N   cache-blocked execution: run the fleet tick in N-member
+              chunks via runtime.chunked.chunk_map (restores the
+              small-batch cache-resident rate at large B)
 """
 
 import json
@@ -37,7 +43,8 @@ import jax.numpy as jnp
 
 
 def measure(batch: int = 1024, n_ticks: int = 30, dense: bool = False,
-            no_ucols: bool = False) -> dict:
+            no_ucols: bool = False, sync: bool = False,
+            chunk: int = 0) -> dict:
     """Run the constrained fleet benchmark; returns the result dict
     (importable — bench.py embeds this as its `constrained` field)."""
     from srbd_horizon_tpu.config import SRBDConfig
@@ -102,6 +109,11 @@ def measure(batch: int = 1024, n_ticks: int = 30, dense: bool = False,
         st1 = online.solve_online_batch(st, st.sol.X[:, 1], p1)
         return st1, p1, w1
 
+    if chunk:
+        from srbd_horizon_tpu.runtime.chunked import chunk_map
+
+        # action/rdot_ref are fleet-batched too, so the whole tick chunks
+        tick = chunk_map(tick, chunk)
     tick_j = jax.jit(tick, donate_argnums=(0, 1, 2))
 
     wpg_state = jax.vmap(lambda _: wpg.init_state())(jnp.arange(B))
@@ -112,16 +124,21 @@ def measure(batch: int = 1024, n_ticks: int = 30, dense: bool = False,
     st, params, wpg_state = tick_j(st, params, wpg_state, action, rdot_ref)
     jax.block_until_ready(st.viol)
 
+    lat_ms = []
     t0 = time.perf_counter()
     for _ in range(n_ticks):
+        t1 = time.perf_counter()
         st, params, wpg_state = tick_j(
             st, params, wpg_state, action, rdot_ref
         )
+        if sync:
+            jax.block_until_ready(st.viol)
+            lat_ms.append(1e3 * (time.perf_counter() - t1))
     jax.block_until_ready(st.viol)
     dt_s = (time.perf_counter() - t0) / n_ticks
 
     viol_max = float(jnp.max(st.viol))
-    return {
+    out = {
         "metric": "isrbd_constrained_solves_per_s",
         "value": round(B / dt_s, 1),
         "unit": "solve/s",
@@ -132,16 +149,37 @@ def measure(batch: int = 1024, n_ticks: int = 30, dense: bool = False,
         "finite": bool(jnp.all(jnp.isfinite(st.sol.X))),
         "dtype": "float32",
         "inner": "dense" if dense else ("sparse_no_ucols" if no_ucols else "sparse"),
+        "chunk": chunk,
     }
+    if sync:
+        import numpy as np
+
+        out["timing"] = "per_tick_sync"
+        out["p50_ms"] = round(float(np.percentile(lat_ms, 50)), 2)
+        out["p99_ms"] = round(float(np.percentile(lat_ms, 99)), 2)
+        out["realtime_ok"] = out["p99_ms"] <= 100.0
+    else:
+        out["timing"] = "chained_dispatch"
+    return out
 
 
 def main():
-    args = [a for a in sys.argv[1:] if a not in ("--dense", "--no-ucols")]
-    dense = "--dense" in sys.argv[1:]
-    no_ucols = "--no-ucols" in sys.argv[1:]
+    argv = sys.argv[1:]
+    chunk = 0
+    if "--chunk" in argv:
+        i = argv.index("--chunk")
+        chunk = int(argv[i + 1])
+        argv = argv[:i] + argv[i + 2:]
+    flags = ("--dense", "--no-ucols", "--sync")
+    args = [a for a in argv if a not in flags]
+    dense = "--dense" in argv
+    no_ucols = "--no-ucols" in argv
+    sync = "--sync" in argv
     batch = int(args[0]) if len(args) > 0 else 1024
     n_ticks = int(args[1]) if len(args) > 1 else 30
-    print(json.dumps(measure(batch, n_ticks, dense=dense, no_ucols=no_ucols)))
+    print(json.dumps(measure(
+        batch, n_ticks, dense=dense, no_ucols=no_ucols, sync=sync,
+        chunk=chunk)))
 
 
 if __name__ == "__main__":
