@@ -37,7 +37,7 @@ def parse_overrides(spec: str) -> dict:
     return out
 
 
-def bench_variant(batch, overrides, reps, base_opts, noise=0.0):
+def bench_variant(batch, overrides, reps, base_opts, noise=0.0, chunk=0):
     from srbd_horizon_tpu.config import DDPOptions, SRBDConfig
     from srbd_horizon_tpu.models.kangaroo import kangaroo_line_feet
     from srbd_horizon_tpu.problems.srbd import build_srbd_problem
@@ -62,7 +62,12 @@ def bench_variant(batch, overrides, reps, base_opts, noise=0.0):
         x0 = x0 + noise * jax.random.normal(jax.random.key(0), x0.shape,
                                             dtype)
     carries = jax.vmap(loop.init)(x0)
-    vtick = jax.jit(loop.tick_batch)
+    tick = loop.tick_batch
+    if chunk:
+        from srbd_horizon_tpu.runtime.chunked import chunk_map
+
+        tick = chunk_map(tick, chunk)
+    vtick = jax.jit(tick)
     inp = TickInput(
         action=jnp.ones(B, jnp.int32),
         rdot_ref=jnp.tile(jnp.array([0.2, 0.0, 0.0], dtype)[None], (B, 1)),
@@ -79,6 +84,8 @@ def bench_variant(batch, overrides, reps, base_opts, noise=0.0):
     md = float(np.max(np.asarray(out.defect_norm)))
     iters = float(np.mean(np.asarray(out.iterations)))
     label = ",".join(f"{k}={v}" for k, v in overrides.items()) or "baseline"
+    if chunk:
+        label += f" [chunk={chunk}]"
     print(
         f"{label:55s} {dt_tick*1e3:8.2f} ms/tick {B/dt_tick:9.0f} solve/s"
         f"  iters_mean={iters:.2f}  max_defect={md:.2e}",
@@ -95,13 +102,16 @@ def main():
     ap.add_argument("--reps", type=int, default=10)
     ap.add_argument("--noise", type=float, default=0.0,
                     help="x0 perturbation stddev (0.005 = bench.py fleet)")
+    ap.add_argument("--chunk", type=int, default=0,
+                    help="cache-blocked execution: tick the fleet in "
+                         "N-member chunks (runtime.chunked.chunk_map)")
     args = ap.parse_args()
     base = dict(max_iters=5, alpha_converge_threshold=1e-12, beta=1e-3)
     print(f"device={jax.devices()[0]} batch={args.batch} "
-          f"noise={args.noise} base={base}")
+          f"noise={args.noise} chunk={args.chunk} base={base}")
     for spec in args.variants:
         bench_variant(args.batch, parse_overrides(spec), args.reps, base,
-                      noise=args.noise)
+                      noise=args.noise, chunk=args.chunk)
 
 
 if __name__ == "__main__":
