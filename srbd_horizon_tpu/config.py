@@ -253,6 +253,19 @@ class DDPOptions:
     # dispatch-latency-bound — unrolling shortens the dependency chain
     # bookkeeping rather than the math
     rollout_unroll: int = 1
+    # Lane-major fast-path line search (batched path only): evaluate the
+    # α₀ trial's rollout AND cost sweep with the batch on the minor (lane)
+    # axis — the same layout transform that took the backward sweep from
+    # 208 ms to 39 ms at B=4096. MEASURED A WASH on TPU v5e-lite (B=4096
+    # heterogeneous fleet, tools/bench_opts.py --noise 0.005: 11979 →
+    # 11826 solve/s, −1.3%): unlike the backward (whose operands already
+    # live lane-major inside one scan), the trial must transpose the gain
+    # tensors in (Ks alone is ~290 MB at B=4096) and the results back
+    # out, and XLA's batching of the per-step dynamics dots re-transposes
+    # intermediates — the occupancy win is spent on layout traffic. Kept
+    # as a validated opt-in (results equal to f32 rounding, CPU-tested);
+    # default off.
+    rollout_lane_major: bool = False
     # Forward-pass execution:
     #   "nonlinear": true MS-DDP rollout (sequential in the horizon)
     #   "linear":    affine δx recursion via associative scan (SQP-flavored

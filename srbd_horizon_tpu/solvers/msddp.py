@@ -817,7 +817,36 @@ class MSDDP:
         # full step — try α₀ alone first and only fan out over the
         # backtracking α candidates if someone rejects it (lax.cond
         # executes exactly one branch at runtime)
-        X1, U1, cost1, merit1, ok1 = trial(alphas[0])
+        if opts.rollout_lane_major:
+            # lane-major α₀ trial (opts.rollout_lane_major): batch on the
+            # minor axis for the rollout + cost sweep; results transposed
+            # back once (the fan/selection logic stays batch-first)
+            def lmv(a):
+                return jnp.moveaxis(a, 0, -1)
+
+            a0_t = alphas[0]
+            Xn_lm, Un_lm = self._rollout_lm(
+                x0.T, lmv(state.X), lmv(state.U), lmv(ks), lmv(Ks),
+                lmv(lin["d"]), {k: lmv(v) for k, v in params.items()},
+                a0_t,
+            )
+            cost1 = self._total_cost_lm(
+                Xn_lm, Un_lm, {k: lmv(v) for k, v in params.items()}
+            )
+            merit1 = cost1 + nu_w * (1.0 - a0_t) ** 2 * D
+            exp1 = (
+                -(a0_t * dV1 + a0_t**2 * dV2)
+                + (2.0 * a0_t - a0_t**2) * nu_w * D
+            )
+            ok1 = (
+                ((merit0 - merit1) >= opts.beta * jnp.maximum(exp1, 1e-16))
+                & jnp.isfinite(merit1)
+                & (a0_t >= opts.alpha_converge_threshold)
+            )
+            X1 = jnp.moveaxis(Xn_lm, -1, 0)
+            U1 = jnp.moveaxis(Un_lm, -1, 0)
+        else:
+            X1, U1, cost1, merit1, ok1 = trial(alphas[0])
 
         def no_fan(_):
             return X1, U1, cost1, merit1, ok1
@@ -1234,6 +1263,48 @@ class MSDDP:
         )
         Xnew = jnp.concatenate([Xs, x_final[None]], axis=0)
         return Xnew, Us
+
+    def _rollout_lm(self, x0_lm, X_lm, U_lm, ks_lm, Ks_lm, d_lm, params_lm,
+                    alpha):
+        """Lane-major batched rollout (opts.rollout_lane_major): identical
+        arithmetic to vmap(_rollout) but with the batch on the minor (lane)
+        axis — x0 (nx, B), X (ns+1, nx, B), gains (ns, nu, [nx,] B), params
+        leaves (ns+1, dim, B). The per-node gain application becomes a
+        lane-major broadcast-reduce (full lane occupancy over B) and every
+        elementwise op in the dynamics step runs over B lanes instead of
+        the 37-wide state dimension."""
+        dt, ns = self.ocp.dt, self.ocp.ns
+        p_stage = {k: v[:ns] for k, v in params_lm.items()}
+        step_lm = jax.vmap(
+            lambda x, u, p: self.ocp.step(x, u, p, dt),
+            in_axes=(-1, -1, -1), out_axes=-1,
+        )
+
+        def node(xhat, inp):
+            Xn, Un, kn, Kn, dn, pn = inp
+            u = Un + alpha * kn + lm_matvec(Kn, xhat - Xn)
+            xnext = step_lm(xhat, u, pn) - (1.0 - alpha) * dn
+            return xnext, (xhat, u)
+
+        x_final, (Xs, Us) = jax.lax.scan(
+            node, x0_lm, (X_lm[:ns], U_lm, ks_lm, Ks_lm, d_lm, p_stage),
+            unroll=self.opts.rollout_unroll,
+        )
+        return jnp.concatenate([Xs, x_final[None]], axis=0), Us
+
+    def _total_cost_lm(self, X_lm, U_lm, params_lm):
+        """Lane-major batched objective: Σ‖ρ‖² per member — operands
+        (ns+1, nx, B) / (ns, nu, B), returns (B,)."""
+        ns = self.ocp.ns
+        p_stage = {k: v[:ns] for k, v in params_lm.items()}
+        rho = jax.vmap(
+            jax.vmap(self._stage_rho, in_axes=(-1, -1, -1), out_axes=-1)
+        )(X_lm[:ns], U_lm, p_stage)
+        p_term = {k: v[ns] for k, v in params_lm.items()}
+        rt = jax.vmap(
+            self.ocp.terminal_residual, in_axes=(-1, -1), out_axes=-1
+        )(X_lm[ns], p_term)
+        return jnp.sum(rho * rho, axis=(0, 1)) + jnp.sum(rt * rt, axis=0)
 
     def _forward_linear(self, x0, X, U, ks, Ks, lin, params, alpha):
         """Linearized forward pass — the Gauss-Newton/SQP step:

@@ -49,6 +49,31 @@ class TestSolveBatch:
         )
 
 
+class TestLaneMajorRollout:
+    """opts.rollout_lane_major: the α₀ trial's rollout/cost evaluated
+    lane-major must reproduce the batch-first path (measured a wash on
+    TPU — kept as a validated knob; see config.py)."""
+
+    def test_matches_batch_first(self):
+        _, prob, solver, x0, params = _setup()
+        import dataclasses
+
+        lm = MSDDP(
+            prob.ocp,
+            dataclasses.replace(solver.opts, rollout_lane_major=True),
+        )
+        sols0 = jax.vmap(solver.init)(x0)
+        ref = jax.jit(solver.solve_batch)(sols0, x0, params)
+        got = jax.jit(lm.solve_batch)(sols0, x0, params)
+        np.testing.assert_allclose(
+            np.asarray(got.X), np.asarray(ref.X), rtol=1e-7, atol=1e-8
+        )
+        np.testing.assert_allclose(
+            np.asarray(got.U), np.asarray(ref.U), rtol=1e-7, atol=1e-8
+        )
+        assert bool(jnp.all(got.iterations == ref.iterations))
+
+
 class TestTickBatch:
     def test_matches_vmap_tick(self):
         cfg, prob, solver, x0, params = _setup(B=4)
