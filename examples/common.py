@@ -59,7 +59,7 @@ def setup(args):
     return jnp.float64 if args.f64 else jnp.float32
 
 
-def run_closed_loop(loop, prob, args, dtype):
+def run_closed_loop(loop, prob, args, dtype, frames=None):
     from srbd_horizon_tpu.io.cartesio import CartesianReferenceFormatter
     from srbd_horizon_tpu.io.telemetry import TelemetryRecorder, export_trajectory_json
     from srbd_horizon_tpu.runtime.loop import TickInput, walking_schedule
@@ -70,9 +70,15 @@ def run_closed_loop(loop, prob, args, dtype):
     )
     tick = jax.jit(loop.tick)
     rec = TelemetryRecorder()
-    ci = CartesianReferenceFormatter(
-        ["left_sole_link", "right_sole_link"], contact_model=prob.contact_model
-    )
+    if frames is None:
+        # one IK frame per leg; the biped names match the reference
+        # (dsrbd_example.py:179-182), other morphologies get foot_<leg>
+        n_legs = prob.nc // prob.contact_model
+        frames = (
+            ["left_sole_link", "right_sole_link"] if n_legs == 2
+            else [f"foot_{i}" for i in range(n_legs)]
+        )
+    ci = CartesianReferenceFormatter(frames, contact_model=prob.contact_model)
 
     # live teleop input (the /joy role, dsrbd_example.py:49,86-99) and
     # telemetry output (the /solution_time, /srbd_constraint topics) over

@@ -89,6 +89,14 @@ class WalkingPatternGenerator:
     r_switch: jnp.ndarray
     step_nodes: int
     stance_otg: float = 1e2   # orientation gain in stance/step (wpg.py:82,96)
+    # Which contacts swing with the A-cycle (l_cycle, swings first); the
+    # rest follow the B-cycle (r_cycle). None → the reference's biped
+    # split (the first `contact_model` contacts are the left foot,
+    # wpg.py:80-88). A (nc,) bool tuple generalizes the same two-phase
+    # alternation to other morphologies — e.g. a quadruped trot with
+    # diagonal pairs (models/quadruped.py::trot_group_mask). Beyond the
+    # reference (biped-only); the cycle tables/timing are unchanged.
+    group_mask: tuple = None
 
     @staticmethod
     def build(
@@ -101,6 +109,7 @@ class WalkingPatternGenerator:
         ss_share: float = 0.8,
         ds_share: float = 0.2,
         dtype=jnp.float32,
+        group_mask=None,
     ) -> "WalkingPatternGenerator":
         step_nodes = int(step_duration / dt)
         l_c, l_s, r_c, r_s = _build_cycles(
@@ -115,6 +124,10 @@ class WalkingPatternGenerator:
             r_cycle=jnp.asarray(r_c, dtype),
             r_switch=jnp.asarray(r_s, dtype),
             step_nodes=step_nodes,
+            group_mask=(
+                tuple(bool(g) for g in group_mask)
+                if group_mask is not None else None
+            ),
         )
 
     def init_state(self) -> WPGState:
@@ -153,7 +166,10 @@ class WalkingPatternGenerator:
 
         cm = self.contact_model
         dtype = p["c_ref"].dtype
-        is_left = (jnp.arange(nc) < cm)
+        if self.group_mask is not None:
+            is_left = jnp.asarray(self.group_mask, bool)
+        else:
+            is_left = (jnp.arange(nc) < cm)
 
         tz = jnp.asarray(terrain_z, dtype)
 

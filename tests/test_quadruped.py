@@ -1,0 +1,147 @@
+"""Quadruped morphology: a second robot family through the same stack —
+constants provenance (URDF round-trip through both extractors), trot WPG
+group masking, and closed-loop trot stability.
+
+The reference is biped-only; contact_model=1 × number_of_legs=4 is the
+other corner its config surface provisions (reference prb.py:39-41,
+launch:16-17). See models/quadruped.py."""
+
+import shutil
+import subprocess
+from pathlib import Path
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from srbd_horizon_tpu.config import DDPOptions, SRBDConfig
+from srbd_horizon_tpu.models.quadruped import (
+    QUADRUPED_FOOT_FRAMES,
+    QUADRUPED_JOINT_INIT,
+    QUADRUPED_URDF,
+    QUADRUPED_WORLD_FRAME,
+    quadruped_from_urdf,
+    quadruped_point_feet,
+    trot_group_mask,
+)
+from srbd_horizon_tpu.models.urdf import run_native_tool
+from srbd_horizon_tpu.problems.srbd import build_srbd_problem
+from srbd_horizon_tpu.runtime.loop import MPCLoop, walking_schedule
+from srbd_horizon_tpu.solvers.msddp import MSDDP
+from srbd_horizon_tpu.wpg import STEP, WalkingPatternGenerator
+
+TOOL_DIR = Path(__file__).resolve().parents[1] / "tools" / "urdf_constants"
+
+
+class TestQuadrupedConstants:
+    def test_recorded_matches_extraction(self):
+        """models/quadruped.py constants regenerate from the committed
+        asset — hand edits to either side fail here."""
+        rec = quadruped_point_feet()
+        ext = quadruped_from_urdf()
+        assert ext.mass == rec.mass
+        np.testing.assert_allclose(ext.com, rec.com, atol=1e-12)
+        np.testing.assert_allclose(ext.inertia, rec.inertia, atol=1e-9)
+        np.testing.assert_allclose(
+            ext.foot_positions, rec.foot_positions, atol=1e-12
+        )
+        assert ext.foot_frames == rec.foot_frames
+
+    def test_geometry(self):
+        """Stance rectangle: 0.60 m wheelbase × 0.34 m track, feet on the
+        world plane, CoM centered over the support polygon."""
+        c = quadruped_point_feet()
+        np.testing.assert_allclose(c.foot_positions[:, 2], 0.0, atol=1e-12)
+        np.testing.assert_allclose(
+            c.foot_positions[0] - c.foot_positions[2], [0.60, 0, 0],
+            atol=1e-12,
+        )
+        np.testing.assert_allclose(
+            c.foot_positions[0] - c.foot_positions[1], [0, 0.34, 0],
+            atol=1e-12,
+        )
+        np.testing.assert_allclose(
+            c.com[:2], c.foot_positions[:, :2].mean(axis=0), atol=1e-12
+        )
+
+    @pytest.mark.skipif(shutil.which("g++") is None, reason="no C++ toolchain")
+    def test_native_extraction_matches_recorded(self):
+        subprocess.run(["make", "-s"], cwd=TOOL_DIR, check=True)
+        rec = quadruped_point_feet()
+        cc = run_native_tool(
+            QUADRUPED_URDF, list(QUADRUPED_JOINT_INIT),
+            list(QUADRUPED_FOOT_FRAMES), QUADRUPED_WORLD_FRAME,
+        )
+        assert np.isclose(cc["mass"], rec.mass)
+        np.testing.assert_allclose(
+            np.array(cc["inertia"]), rec.inertia, atol=1e-9
+        )
+        feet = np.stack([cc["frames"][f] for f in QUADRUPED_FOOT_FRAMES])
+        np.testing.assert_allclose(feet, rec.foot_positions, atol=1e-9)
+
+
+class TestTrotWPG:
+    def test_diagonal_pairs_alternate(self):
+        """With the trot mask, lf+rh follow the A-cycle and rf+lh the
+        B-cycle: during A's swing window the A contacts have
+        cdot_switch=0 (swing) while B's are 1 (stance), and vice versa
+        half a cycle later."""
+        cfg = SRBDConfig(contact_model=1, number_of_legs=4,
+                         dtype=jnp.float64)
+        prob = build_srbd_problem(cfg, quadruped_point_feet())
+        wpg = WalkingPatternGenerator.build(
+            0.0, cfg.ns, contact_model=1, number_of_legs=4,
+            dtype=jnp.float64, group_mask=trot_group_mask(),
+        )
+        params = dict(prob.ocp.params)
+        state = wpg.init_state()
+        terminal_switch = []
+        for _ in range(2 * wpg.step_nodes):
+            params, state = wpg.advance(params, state, STEP)
+            terminal_switch.append(np.asarray(params["cdot_switch"][-1]))
+        sw = np.stack(terminal_switch)  # (2*step_nodes, nc)
+        # A-group entries (lf=0, rh=3) are identical; B-group (rf=1, lh=2)
+        # identical; the groups swing in opposite half-cycles
+        np.testing.assert_array_equal(sw[:, 0], sw[:, 3])
+        np.testing.assert_array_equal(sw[:, 1], sw[:, 2])
+        a_swings = np.where(sw[:, 0] == 0.0)[0]
+        b_swings = np.where(sw[:, 1] == 0.0)[0]
+        assert len(a_swings) > 0 and len(b_swings) > 0
+        assert set(a_swings).isdisjoint(b_swings)
+
+    def test_biped_default_unchanged(self):
+        """group_mask=None reproduces the reference biped split."""
+        wpg_default = WalkingPatternGenerator.build(0.0, 20)
+        assert wpg_default.group_mask is None
+
+
+class TestClosedLoopTrot:
+    def test_stable_trot(self):
+        """120-tick closed-loop trot at vx=0.25: finite, CoM height in a
+        tight band, forward progress, defects at solver tolerance —
+        the dsrbd walk test's criteria on the new morphology."""
+        dtype = jnp.float64
+        cfg = SRBDConfig(contact_model=1, number_of_legs=4, dtype=dtype)
+        prob = build_srbd_problem(cfg, quadruped_point_feet())
+        solver = MSDDP(
+            prob.ocp,
+            DDPOptions(max_iters=5, alpha_converge_threshold=1e-12,
+                       beta=1e-3),
+        )
+        wpg = WalkingPatternGenerator.build(
+            0.0, cfg.ns, contact_model=1, number_of_legs=4, dtype=dtype,
+            group_mask=trot_group_mask(),
+        )
+        loop = MPCLoop(solver=solver, wpg=wpg,
+                       srbd_constants=prob.ocp.constants)
+        carry = loop.init(prob.initial_state)
+        sched = walking_schedule(120, vx=0.25, start=10, dtype=dtype)
+        carry, out = jax.jit(loop.run)(carry, sched)
+        X = np.asarray(out.x)
+        z0 = float(prob.initial_state[2])
+        assert np.all(np.isfinite(X))
+        assert np.all(np.abs(X[:, 2] - z0) < 0.05), "CoM height left band"
+        assert X[-1, 0] - X[0, 0] > 0.5, "no forward progress"
+        assert float(np.max(np.asarray(out.defect_norm))) < 1e-5
+        assert float(np.max(np.abs(np.asarray(out.srbd_residual)))) < 1e-6
