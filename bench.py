@@ -20,7 +20,9 @@ Three operating points, all measured (BASELINE.md target table):
     see the inline comment at the realtime_ok field).
   - CONSTRAINED (`constrained` field): the full-NLP isrbd AL-serving
     fleet (tools/bench_isrbd.py) at its sweet-spot batch B=256 — the
-    reference's IPOPT/gnsqp workload.
+    reference's IPOPT/gnsqp workload; `constrained_at_scale` repeats it
+    at B=4096 with cache-blocked execution (chunk=256), which holds the
+    sweet-spot rate at 16× the fleet.
 
 The measured unit of work is one full warm-started MPC tick of the
 dsrbd_example.py loop (reference-shift + WPG advance + MS-DDP solve with the
@@ -208,6 +210,12 @@ def main(batch: int = 4096, n_ticks: int = 10, ns: int = 20,
         from tools.bench_isrbd import measure as _constrained_measure
 
         result["constrained"] = _constrained_measure(batch=256, n_ticks=20)
+        # the same workload at 16× the fleet, cache-blocked to the
+        # sweet-spot chunk (runtime.chunked.chunk_map — BENCH_NOTES.md
+        # round 3: holds the B=256 rate at any fleet size)
+        result["constrained_at_scale"] = _constrained_measure(
+            batch=4096, n_ticks=10, chunk=256
+        )
     except Exception as e:  # pragma: no cover - defensive
         result["constrained"] = {"error": str(e)[:200]}
 

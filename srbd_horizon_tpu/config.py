@@ -248,6 +248,18 @@ class DDPOptions:
     # point); bench.py selects "bf16" as the serving configuration,
     # backed by tests/test_linearize_precision.py walk-stability checks.
     linearize_precision: str = "f32"
+    # AD mode for the sliced linearizer's Jacobian stacks:
+    #   "fwd":   jacfwd everywhere (one JVP pass per INPUT column)
+    #   "mixed": jacrev for stacks with fewer rows than columns — the
+    #            dynamics x-stack is 22 live rows × 37 columns (22 VJP
+    #            passes instead of 37 JVP passes), Bs 18×24, Jxp 34×37;
+    #            Jup (42×24) stays jacfwd. Row/column counts come from
+    #            the declared sparsity, so the choice is static.
+    # Same Jacobian values either way (AD exactness); whether fewer
+    # backward passes beat cheaper forward passes is a backend question —
+    # measured on TPU v5e-lite (B=4096 heterogeneous fleet): see
+    # BENCH_NOTES.md round 3.
+    linearize_ad: str = "fwd"
     # Forward-rollout scan unroll: the nonlinear rollout is a 20-step
     # sequential scan of tiny per-step work (~5 MFLOP at B=1024), i.e.
     # dispatch-latency-bound — unrolling shortens the dependency chain

@@ -304,22 +304,38 @@ class MSDDP:
         )
         rho = jax.vmap(self._stage_rho)(Xs, U, p_stage)
         eye_rx = _slice_rows(jnp.eye(nx, dtype=X.dtype), rx_runs, 0)
-        Sx = jax.vmap(jax.jacfwd(f_x, argnums=0))(Xs, U, p_stage) - eye_rx
+
+        def jac(fn, argnums, n_rows, n_cols):
+            """AD-mode pick for one Jacobian stack (opts.linearize_ad):
+            "mixed" uses jacrev when the stack has fewer rows than
+            columns (one VJP pass per row vs one JVP pass per column);
+            row/col counts are static (declared sparsity)."""
+            if self.opts.linearize_ad == "mixed" and n_rows < n_cols:
+                return jax.jacrev(fn, argnums=argnums)
+            return jax.jacfwd(fn, argnums=argnums)
+
+        n_rx = sum(b - a for a, b in rx_runs)
+        n_gx = sum(b - a for a, b in gx_runs)
+        n_gu = sum(b - a for a, b in gu_runs)
+        Sx = jax.vmap(jac(f_x, 0, n_rx, nx))(Xs, U, p_stage) - eye_rx
         if uc_runs is None:
             def f_u(x, u, p):
                 return _slice_rows(self.ocp.step(x, u, p, dt), ru_runs, 0)
 
-            Bs = jax.vmap(jax.jacfwd(f_u, argnums=1))(Xs, U, p_stage)
+            n_ru = sum(b - a for a, b in ru_runs)
+            Bs = jax.vmap(jac(f_u, 1, n_ru, self.ocp.nu))(Xs, U, p_stage)
         else:
             # ocp.dynamics_u_cols: run the u-tangent passes only over the
             # input entries the dynamics consume — Bs is (ns, |ru|, |uc|);
             # the blocksparse backward scatters its contractions back
             f_uc = self._dyn_u_cols_fn(ru_runs, uc_runs)
-            Bs = jax.vmap(jax.jacfwd(f_uc, argnums=1))(
+            n_ru = sum(b - a for a, b in ru_runs)
+            n_uc = sum(b - a for a, b in uc_runs)
+            Bs = jax.vmap(jac(f_uc, 1, n_ru, n_uc))(
                 Xs, _slice_rows(U, uc_runs, 1), U, p_stage
             )
-        Jxp = jax.vmap(jax.jacfwd(rho_x, argnums=0))(Xs, U, p_stage)
-        Jup = jax.vmap(jax.jacfwd(rho_u, argnums=1))(Xs, U, p_stage)
+        Jxp = jax.vmap(jac(rho_x, 0, n_gx, nx))(Xs, U, p_stage)
+        Jup = jax.vmap(jac(rho_u, 1, n_gu, self.ocp.nu))(Xs, U, p_stage)
 
         p_term = {k: v[ns] for k, v in params.items()}
         rt = self.ocp.terminal_residual(X[ns], p_term)
