@@ -255,11 +255,29 @@ class DDPOptions:
     #            passes instead of 37 JVP passes), Bs 18×24, Jxp 34×37;
     #            Jup (42×24) stays jacfwd. Row/column counts come from
     #            the declared sparsity, so the choice is static.
-    # Same Jacobian values either way (AD exactness); whether fewer
-    # backward passes beat cheaper forward passes is a backend question —
-    # measured on TPU v5e-lite (B=4096 heterogeneous fleet): see
-    # BENCH_NOTES.md round 3.
+    # Same Jacobian values either way (AD exactness — CPU f64 diff
+    # ≤ 9e-16). MEASURED AND REJECTED on TPU v5e-lite (B=4096
+    # heterogeneous fleet, tools/bench_opts.py --noise 0.005: 12009 →
+    # 9902 solve/s, −18%): a VJP pass pays the primal trace plus
+    # transposed accumulation where a JVP rides the primal, so the
+    # 22-vs-37 pass-count win inverts. Kept as a validated opt-in.
     linearize_ad: str = "fwd"
+    # Active-set compaction for the batched solve's iteration loop:
+    # solve_batch's while_loop runs until the SLOWEST member converges,
+    # so at warm steady state the last iterations drag every
+    # already-converged member through linearize + backward + trial
+    # (measured iters_mean 4.4 vs the 5-iteration wall-clock at B=4096;
+    # 3.8 with shift_warmstart — ~25% of member-iterations masked idle).
+    # With L = active_compact_levels > 0, each iteration first counts the
+    # active members and, when they fit in B/2, B/4, …, B/2^L lanes,
+    # gathers JUST the active members, runs the identical iteration on
+    # the compacted sub-batch, and scatters the results back (the
+    # gather/scatter is ~1 ms of HBM traffic vs ~40 ms of iteration
+    # compute at B=4096). Per-member arithmetic is lane-position
+    # independent, so results are bit-identical to the full-batch path
+    # (tests/test_batched_solver.py::TestActiveCompaction). Compile cost:
+    # one extra copy of the iteration body per level.
+    active_compact_levels: int = 0
     # Forward-rollout scan unroll: the nonlinear rollout is a 20-step
     # sequential scan of tiny per-step work (~5 MFLOP at B=1024), i.e.
     # dispatch-latency-bound — unrolling shortens the dependency chain

@@ -71,6 +71,15 @@ class MPCLoop:
     # SRBD extras: None for LIP (dlip publishes placeholder forces,
     # dlip_example.py:149,158, and skips the residual check)
     srbd_constants: Optional[dict] = None
+    # Time-shift the warm start each tick: roll the previous plan forward
+    # one node (repeating the terminal node) before the solve, aligning
+    # the initial iterate with the receding horizon the same way the
+    # reference parameters are shifted (dsrbd_example.py:101-106). The
+    # reference's pyddp warm-starts from the UNSHIFTED previous solution
+    # (stateful solver, ddp.py:96-106) — reproduced by default; the shift
+    # is a beyond-reference option (same converged solution, fewer
+    # iterations to reach it at steady state).
+    shift_warmstart: bool = False
 
     @property
     def ocp(self):
@@ -137,9 +146,18 @@ class MPCLoop:
         )
         return x_next, out
 
+    def _shift_sol(self, sol: DDPSolution) -> DDPSolution:
+        """Roll the previous plan one node forward (terminal repeated) —
+        the warm start then predicts the same wall-clock trajectory the
+        shifted parameters describe."""
+        X = jnp.roll(sol.X, -1, axis=0).at[-1].set(sol.X[-1])
+        U = jnp.roll(sol.U, -1, axis=0).at[-1].set(sol.U[-1])
+        return sol._replace(X=X, U=U)
+
     def tick(self, carry: LoopCarry, inp: TickInput) -> Tuple[LoopCarry, TickOutput]:
         params, wpg_state = self._pre_solve(carry.params, carry.wpg_state, inp)
-        sol = self.solver.solve(carry.sol, carry.x, params)
+        sol0 = self._shift_sol(carry.sol) if self.shift_warmstart else carry.sol
+        sol = self.solver.solve(sol0, carry.x, params)
         x_next, out = self._post_solve(carry.x, sol, params)
         return LoopCarry(x=x_next, sol=sol, params=params, wpg_state=wpg_state), out
 
@@ -150,7 +168,11 @@ class MPCLoop:
         params, wpg_state = jax.vmap(self._pre_solve)(
             carry.params, carry.wpg_state, inp
         )
-        sol = self.solver.solve_batch(carry.sol, carry.x, params)
+        sol0 = (
+            jax.vmap(self._shift_sol)(carry.sol)
+            if self.shift_warmstart else carry.sol
+        )
+        sol = self.solver.solve_batch(sol0, carry.x, params)
         x_next, out = jax.vmap(self._post_solve)(carry.x, sol, params)
         return LoopCarry(x=x_next, sol=sol, params=params, wpg_state=wpg_state), out
 

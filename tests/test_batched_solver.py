@@ -74,6 +74,42 @@ class TestLaneMajorRollout:
         assert bool(jnp.all(got.iterations == ref.iterations))
 
 
+class TestActiveCompaction:
+    """opts.active_compact_levels: iterations executed on a compacted
+    active sub-batch must be BIT-identical to the full-batch path
+    (per-member arithmetic is lane-position independent)."""
+
+    def test_bit_identical(self):
+        import dataclasses
+
+        cfg = SRBDConfig(dtype=jnp.float64)
+        prob = build_srbd_problem(cfg, kangaroo_line_feet())
+        B = 16
+        key = jax.random.key(5)
+        x0 = jnp.tile(prob.initial_state[None], (B, 1))
+        # 0.02 noise: members converge at visibly different iterations,
+        # so the B/2 and B/4 compaction levels actually engage
+        x0 = x0 + 0.02 * jax.random.normal(key, x0.shape, jnp.float64)
+        params = jax.tree.map(
+            lambda a: jnp.tile(a[None], (B,) + (1,) * a.ndim),
+            prob.ocp.params,
+        )
+        base = MSDDP(prob.ocp, DDPOptions(max_iters=8))
+        comp = MSDDP(
+            prob.ocp,
+            dataclasses.replace(base.opts, active_compact_levels=2),
+        )
+        sols = jax.vmap(base.init)(x0)
+        ref = jax.jit(base.solve_batch)(sols, x0, params)
+        got = jax.jit(comp.solve_batch)(sols, x0, params)
+        assert bool(jnp.all(ref.iterations == got.iterations))
+        # compaction must actually have had something to do
+        assert int(jnp.max(ref.iterations)) > int(jnp.min(ref.iterations))
+        assert bool(jnp.all(ref.X == got.X))
+        assert bool(jnp.all(ref.U == got.U))
+        assert bool(jnp.all(ref.converged == got.converged))
+
+
 class TestTickBatch:
     def test_matches_vmap_tick(self):
         cfg, prob, solver, x0, params = _setup(B=4)

@@ -127,3 +127,33 @@ class TestSRBDJump:
         # switches confirm the schedule migrated as expected
         sw = np.asarray(carry.params["cdot_switch"])
         assert sw[-1].max() == 0.0 and sw[0].min() == 1.0
+
+
+class TestShiftWarmstart:
+    def test_shifted_warmstart_same_walk(self):
+        """MPCLoop.shift_warmstart (beyond-reference): rolling the
+        previous plan one node forward before the solve must preserve
+        walk quality (the converged solution is warm-start independent)
+        while not increasing iterations."""
+        import dataclasses
+
+        prob, loop = _make_loop(max_iters=5)
+        loop_s = dataclasses.replace(loop, shift_warmstart=True)
+        sched = walking_schedule(80, vx=0.3, start=10, dtype=jnp.float64)
+        results = {}
+        for name, lp in (("plain", loop), ("shift", loop_s)):
+            carry = lp.init(prob.initial_state)
+            carry, out = jax.jit(lp.run)(carry, sched)
+            results[name] = out
+        for name, out in results.items():
+            X = np.asarray(out.x)
+            assert np.all(np.isfinite(X)), name
+            assert np.all(np.abs(X[:, 2] - 0.89) < 0.03), name
+            assert X[-1, 0] - X[0, 0] > 0.4, name
+        it_plain = float(np.mean(np.asarray(results["plain"].iterations)))
+        it_shift = float(np.mean(np.asarray(results["shift"].iterations)))
+        assert it_shift <= it_plain + 0.25, (it_shift, it_plain)
+        # trajectories agree closely (same fixed point, different path)
+        dx = np.max(np.abs(np.asarray(results["plain"].x)
+                           - np.asarray(results["shift"].x)))
+        assert dx < 0.05, dx

@@ -37,7 +37,8 @@ def parse_overrides(spec: str) -> dict:
     return out
 
 
-def bench_variant(batch, overrides, reps, base_opts, noise=0.0, chunk=0):
+def bench_variant(batch, overrides, reps, base_opts, noise=0.0, chunk=0,
+                  ns=None):
     from srbd_horizon_tpu.config import DDPOptions, SRBDConfig
     from srbd_horizon_tpu.models.kangaroo import kangaroo_line_feet
     from srbd_horizon_tpu.problems.srbd import build_srbd_problem
@@ -46,11 +47,15 @@ def bench_variant(batch, overrides, reps, base_opts, noise=0.0, chunk=0):
     from srbd_horizon_tpu.wpg import WalkingPatternGenerator
 
     dtype = jnp.float32
-    cfg = SRBDConfig(dtype=dtype)
+    cfg = SRBDConfig(dtype=dtype) if ns is None else SRBDConfig(ns=ns, dtype=dtype)
     prob = build_srbd_problem(cfg, kangaroo_line_feet())
-    solver = MSDDP(prob.ocp, DDPOptions(**{**base_opts, **overrides}))
+    merged = {**base_opts, **overrides}
+    # loop-level (MPCLoop) override, not a DDPOptions field
+    shift_ws = bool(merged.pop("shift_warmstart", False))
+    solver = MSDDP(prob.ocp, DDPOptions(**merged))
     wpg = WalkingPatternGenerator.build(0.0, cfg.ns, dtype=dtype)
-    loop = MPCLoop(solver=solver, wpg=wpg, srbd_constants=prob.ocp.constants)
+    loop = MPCLoop(solver=solver, wpg=wpg, srbd_constants=prob.ocp.constants,
+                   shift_warmstart=shift_ws)
 
     B = batch
     x0 = jnp.tile(prob.initial_state[None], (B, 1))
@@ -105,13 +110,16 @@ def main():
     ap.add_argument("--chunk", type=int, default=0,
                     help="cache-blocked execution: tick the fleet in "
                          "N-member chunks (runtime.chunked.chunk_map)")
+    ap.add_argument("--ns", type=int, default=None,
+                    help="horizon length override (default: config ns=20) "
+                         "— for the horizon-scaling study")
     args = ap.parse_args()
     base = dict(max_iters=5, alpha_converge_threshold=1e-12, beta=1e-3)
     print(f"device={jax.devices()[0]} batch={args.batch} "
-          f"noise={args.noise} chunk={args.chunk} base={base}")
+          f"noise={args.noise} chunk={args.chunk} ns={args.ns} base={base}")
     for spec in args.variants:
         bench_variant(args.batch, parse_overrides(spec), args.reps, base,
-                      noise=args.noise, chunk=args.chunk)
+                      noise=args.noise, chunk=args.chunk, ns=args.ns)
 
 
 if __name__ == "__main__":
