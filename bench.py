@@ -79,7 +79,13 @@ def _measure(batch: int, n_ticks: int, ns: int, max_iters: int,
                    beta=1e-3),
     )
     wpg = WalkingPatternGenerator.build(c_init_z=0.0, nodes=cfg.ns, dtype=dtype)
-    loop = MPCLoop(solver=solver, wpg=wpg, srbd_constants=prob.ocp.constants)
+    # shift_warmstart: serving config — roll the plan one node forward
+    # each tick so the warm start matches the shifted parameters
+    # (iters_mean 4.44 → 3.78; wall-clock gain comes via the active-set
+    # compaction defaults; BENCH_NOTES.md round 3). The solve itself
+    # keeps the reference's online budget (max_iters, launch:20).
+    loop = MPCLoop(solver=solver, wpg=wpg, srbd_constants=prob.ocp.constants,
+                   shift_warmstart=True)
 
     B = batch
     key = jax.random.key(0)

@@ -276,8 +276,13 @@ class DDPOptions:
     # compute at B=4096). Per-member arithmetic is lane-position
     # independent, so results are bit-identical to the full-batch path
     # (tests/test_batched_solver.py::TestActiveCompaction). Compile cost:
-    # one extra copy of the iteration body per level.
-    active_compact_levels: int = 0
+    # one extra copy of the iteration body per level (measured
+    # negligible). Default 4 — measured on TPU v5e-lite (B=4096
+    # heterogeneous fleet, tools/bench_opts.py --noise 0.005):
+    # 12003 → 15227 solve/s at levels=2, 15376 at 3, 15890 at 4 (+
+    # shift_warmstart), 16038 at 5 (diminishing); levels where B/2^l
+    # would drop below 32 lanes are skipped automatically.
+    active_compact_levels: int = 4
     # Forward-rollout scan unroll: the nonlinear rollout is a 20-step
     # sequential scan of tiny per-step work (~5 MFLOP at B=1024), i.e.
     # dispatch-latency-bound — unrolling shortens the dependency chain
