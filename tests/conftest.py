@@ -24,3 +24,23 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+
+# The full 160-test suite segfaults XLA's CPU compiler at ~test 127
+# (reproduced 4/4 at tests/test_robustness.py::test_steps_onto_raised_
+# terrain, rc 134/139 inside backend_compile) while every bisected
+# half/quarter passes — i.e. the crash tracks CUMULATIVE in-process
+# state (~160 live compiled executables + tracing caches), not any
+# specific test pairing. Dropping the caches between modules keeps the
+# per-process live-executable count bounded; within-module caching (the
+# common sharing pattern) is untouched.
+import gc  # noqa: E402
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    yield
+    jax.clear_caches()
+    gc.collect()
