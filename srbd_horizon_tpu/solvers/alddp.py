@@ -504,6 +504,28 @@ class ALDDP:
             viol=viol,
         )
 
+    def shift_warmstart(self, st: ALState) -> ALState:
+        """Roll the warm start one node forward (last row repeated) —
+        trajectory AND node-indexed AL multipliers — so the online MPC's
+        initial iterate and its multiplier estimates line up with the
+        receding horizon. Beyond the reference (its warm start reuses the
+        unshifted previous solution, isrbd_example.py:423). Note the
+        hybrid SRBD/LIP node masks stay put (they are horizon-fixed,
+        isrbd_example.py:344-348), so multipliers shifted across the
+        model boundary start one update behind — the AL update re-centers
+        them within a tick (measured in tools/bench_isrbd.py --shift)."""
+        def roll(a):
+            return jnp.roll(a, -1, axis=0).at[-1].set(a[-1])
+
+        sol = st.sol._replace(X=roll(st.sol.X), U=roll(st.sol.U))
+        return st._replace(
+            sol=sol,
+            lam_eq=roll(st.lam_eq),
+            mu_ub=roll(st.mu_ub), mu_lb=roll(st.mu_lb),
+            mu_x_ub=roll(st.mu_x_ub), mu_x_lb=roll(st.mu_x_lb),
+            mu_u_ub=roll(st.mu_u_ub), mu_u_lb=roll(st.mu_u_lb),
+        )
+
     def solve_online_batch(self, st: ALState, x0, params) -> ALState:
         """Batched `solve_online`: one frozen-penalty outer iteration over
         a leading scenario axis — the constrained fleet-serving tick

@@ -167,6 +167,32 @@ class TestISRBDWalkingOnline:
         # the swing schedule reached the horizon: some switch is zero
         assert float(np.asarray(params["cdot_switch"]).min()) == 0.0
 
+    def test_shifted_warmstart_feasible(self):
+        """ALDDP.shift_warmstart (beyond-reference): rolling trajectory +
+        node-indexed multipliers one node forward per tick keeps the
+        online MPC feasible — measured to IMPROVE converged violation
+        (0.0208 → 0.0181 on TPU, BENCH_NOTES.md round 3)."""
+        from srbd_horizon_tpu.wpg import WalkingPatternGenerator
+
+        cfg, prob, solver = _build(outer_iters=4, max_iters=10)
+        wpg = WalkingPatternGenerator.build(0.0, cfg.ns, dtype=jnp.float64)
+        params = dict(prob.ocp.params)
+        wpg_state = wpg.init_state()
+        x0 = prob.initial_state
+        U0 = jnp.tile(prob.static_input[None], (cfg.ns, 1))
+        st = solver.solve(solver.init(x0, U0=U0), x0, params)
+        online = jax.jit(solver.solve_online)
+        shift = jax.jit(solver.shift_warmstart)
+        for _ in range(8):
+            params, wpg_state = wpg.advance(params, wpg_state, 1)
+            params["rdot_ref"] = params["rdot_ref"].at[1:].set(
+                jnp.array([0.15, 0.0, 0.0])
+            )
+            x0 = st.sol.X[1]
+            st = online(shift(st), x0, params)
+        assert bool(jnp.all(jnp.isfinite(st.sol.X)))
+        assert float(st.viol) < 8e-2, float(st.viol)
+
 
 class TestISRBDF32Serving:
     def test_f32_matches_f64_walking(self):

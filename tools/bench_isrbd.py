@@ -44,7 +44,7 @@ import jax.numpy as jnp
 
 def measure(batch: int = 1024, n_ticks: int = 30, dense: bool = False,
             no_ucols: bool = False, sync: bool = False,
-            chunk: int = 0) -> dict:
+            chunk: int = 0, shift: bool = False) -> dict:
     """Run the constrained fleet benchmark; returns the result dict
     (importable — bench.py embeds this as its `constrained` field)."""
     from srbd_horizon_tpu.config import SRBDConfig
@@ -106,7 +106,12 @@ def measure(batch: int = 1024, n_ticks: int = 30, dense: bool = False,
             lambda p, s, a: wpg.advance(p, s, a)
         )(params, wpg_state, action)
         p1["rdot_ref"] = p1["rdot_ref"].at[:, 1:].set(rdot_ref[:, None, :])
-        st1 = online.solve_online_batch(st, st.sol.X[:, 1], p1)
+        x0 = st.sol.X[:, 1]
+        if shift:
+            # roll trajectory + multipliers one node forward, aligning
+            # the warm start with the shifted schedule (--shift A/B)
+            st = jax.vmap(online.shift_warmstart)(st)
+        st1 = online.solve_online_batch(st, x0, p1)
         return st1, p1, w1
 
     if chunk:
@@ -150,6 +155,7 @@ def measure(batch: int = 1024, n_ticks: int = 30, dense: bool = False,
         "dtype": "float32",
         "inner": "dense" if dense else ("sparse_no_ucols" if no_ucols else "sparse"),
         "chunk": chunk,
+        "shift_warmstart": shift,
     }
     if sync:
         import numpy as np
@@ -170,16 +176,17 @@ def main():
         i = argv.index("--chunk")
         chunk = int(argv[i + 1])
         argv = argv[:i] + argv[i + 2:]
-    flags = ("--dense", "--no-ucols", "--sync")
+    flags = ("--dense", "--no-ucols", "--sync", "--shift")
     args = [a for a in argv if a not in flags]
     dense = "--dense" in argv
     no_ucols = "--no-ucols" in argv
     sync = "--sync" in argv
+    shift = "--shift" in argv
     batch = int(args[0]) if len(args) > 0 else 1024
     n_ticks = int(args[1]) if len(args) > 1 else 30
     print(json.dumps(measure(
         batch, n_ticks, dense=dense, no_ucols=no_ucols, sync=sync,
-        chunk=chunk)))
+        chunk=chunk, shift=shift)))
 
 
 if __name__ == "__main__":

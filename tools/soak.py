@@ -1,0 +1,121 @@
+"""Long-run serving soak: N closed-loop fleet ticks on the accelerator
+with periodic health readbacks — evidence that the serving path is
+stable over sustained operation, not just over a 20-tick bench window
+(the reference's runs are open-ended interactive sessions,
+dsrbd_example.py:82; here the equivalent is a bounded soak with
+machine-checked drift bounds).
+
+Checks per readback window (default every 100 ticks):
+  - every state finite,
+  - fleet CoM height inside a ±10 cm band around nominal,
+  - max multiple-shooting defect below 1e-4,
+  - solver iterations healthy (mean ≥ 1 — a frozen solver reads as 0).
+
+Prints one JSON line with per-window p50/p99 wall times and the drift
+envelope over the whole run.
+
+Usage: python tools/soak.py [batch] [ticks] [--cpu]
+"""
+
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main(batch=512, ticks=1000, window=100):
+    window = max(1, min(window, ticks))
+    from srbd_horizon_tpu.config import DDPOptions, SRBDConfig
+    from srbd_horizon_tpu.models.kangaroo import kangaroo_line_feet
+    from srbd_horizon_tpu.problems.srbd import build_srbd_problem
+    from srbd_horizon_tpu.runtime.loop import MPCLoop, TickInput
+    from srbd_horizon_tpu.solvers.msddp import MSDDP
+    from srbd_horizon_tpu.wpg import WalkingPatternGenerator
+
+    dtype = jnp.float32
+    cfg = SRBDConfig(dtype=dtype)
+    prob = build_srbd_problem(cfg, kangaroo_line_feet())
+    solver = MSDDP(
+        prob.ocp,
+        DDPOptions(max_iters=5, alpha_converge_threshold=1e-12, beta=1e-3),
+    )
+    wpg = WalkingPatternGenerator.build(0.0, cfg.ns, dtype=dtype)
+    loop = MPCLoop(solver=solver, wpg=wpg, srbd_constants=prob.ocp.constants,
+                   shift_warmstart=True)
+
+    B = batch
+    key = jax.random.key(0)
+    x0 = jnp.tile(prob.initial_state[None], (B, 1))
+    x0 = x0 + 0.005 * jax.random.normal(key, x0.shape, dtype)
+    carries = jax.vmap(loop.init)(x0)
+    vtick = jax.jit(loop.tick_batch, donate_argnums=(0,))
+    inp = jax.device_put(TickInput(
+        action=jnp.ones(B, jnp.int32),
+        rdot_ref=jnp.tile(jnp.array([0.2, 0.0, 0.0], dtype)[None], (B, 1)),
+        w_ref=jnp.zeros((B, 3), dtype),
+    ))
+
+    carries, out = vtick(carries, inp)
+    float(jnp.sum(out.x))  # compile + drain
+
+    z_nom = float(prob.initial_state[2])
+    windows = []
+    z_lo, z_hi, defect_hi, res_hi = np.inf, -np.inf, 0.0, 0.0
+    ok = True
+    t_start = time.perf_counter()
+    for w in range(ticks // window):
+        t0 = time.perf_counter()
+        for _ in range(window):
+            carries, out = vtick(carries, inp)
+        x = np.asarray(out.x)          # host read = drain
+        dt_w = (time.perf_counter() - t0) / window
+        finite = bool(np.all(np.isfinite(x)))
+        z = x[:, 2]
+        z_lo, z_hi = min(z_lo, float(z.min())), max(z_hi, float(z.max()))
+        defect = float(np.max(np.asarray(out.defect_norm)))
+        res = float(np.max(np.abs(np.asarray(out.srbd_residual))))
+        defect_hi = max(defect_hi, defect)
+        res_hi = max(res_hi, res)
+        iters = float(np.mean(np.asarray(out.iterations)))
+        w_ok = (finite and abs(z.min() - z_nom) < 0.10
+                and abs(z.max() - z_nom) < 0.10
+                and defect < 1e-4 and iters >= 1.0)
+        ok = ok and w_ok
+        windows.append(dt_w)
+        print(f"window {w:3d}: {dt_w*1e3:7.2f} ms/tick  z=[{z.min():.3f},"
+              f"{z.max():.3f}] defect={defect:.1e} iters={iters:.2f} "
+              f"{'ok' if w_ok else 'FAIL'}", file=sys.stderr, flush=True)
+
+    wall = time.perf_counter() - t_start
+    wt = np.asarray(windows) * 1e3
+    print(json.dumps({
+        "metric": "soak_ticks",
+        "ticks": ticks,
+        "batch": B,
+        "solves": ticks * B,
+        "wall_s": round(wall, 1),
+        "solves_per_s": round(ticks * B / wall, 1),
+        "tick_ms_p50": round(float(np.percentile(wt, 50)), 2),
+        "tick_ms_p99": round(float(np.percentile(wt, 99)), 2),
+        "z_band": [round(z_lo, 4), round(z_hi, 4)],
+        "max_defect": defect_hi,
+        "max_srbd_residual": res_hi,
+        "ok": ok,
+        "device": str(jax.devices()[0]),
+    }))
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    argv = [a for a in sys.argv[1:] if a != "--cpu"]
+    if "--cpu" in sys.argv:
+        jax.config.update("jax_platforms", "cpu")
+    b = int(argv[0]) if len(argv) > 0 else 512
+    t = int(argv[1]) if len(argv) > 1 else 1000
+    sys.exit(main(b, t))
