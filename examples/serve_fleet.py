@@ -1,0 +1,164 @@
+#!/usr/bin/env python
+"""Fleet MPC serving daemon — B robots, ONE process, ONE accelerator.
+
+Each robot sends 24-byte UDP command packets (robot_id, action, vx, vy,
+wz) to the native fleet router (C++ receive thread, runtime/bridge.py
+FleetRouter); every tick the serving loop snapshots the whole fleet's
+latest commands, runs one batched MPC tick, and fans each robot its
+result row [x, y, z, cost, iterations, converged] back over UDP.
+
+This is the fleet-scale version of the reference's per-robot ROS graph
+(/joy in + telemetry out per process, SURVEY.md §5.8): the reference
+serves ONE robot per process at 10 Hz; this serves the whole fleet from
+one process at the same per-robot rate.
+
+Drive it with simulated robots:
+    python examples/serve_fleet.py --cpu --robots 16 --ticks 50 &
+    python examples/fleet_client.py <port> <robot_id> 0.2   # per robot
+
+Or run the built-in selftest (spawns client threads in-process):
+    python examples/serve_fleet.py --cpu --robots 16 --ticks 40 --selftest
+"""
+
+import argparse
+import pathlib
+import socket
+import sys
+import threading
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--robots", type=int, default=16)
+    ap.add_argument("--ticks", type=int, default=100)
+    ap.add_argument("--port", type=int, default=0,
+                    help="command port (default: 41000 + pid%%10000)")
+    ap.add_argument("--hz", type=float, default=10.0)
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--f64", action="store_true")
+    ap.add_argument("--selftest", action="store_true",
+                    help="spawn in-process simulated robot clients")
+    args = ap.parse_args()
+    port = args.port or 41000 + (pathlib.os.getpid() % 10000)
+
+    if args.cpu:
+        import os
+
+        os.environ.setdefault(
+            "XLA_FLAGS", "--xla_force_host_platform_device_count=8"
+        )
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    if args.f64:
+        jax.config.update("jax_enable_x64", True)
+    import jax.numpy as jnp
+    import numpy as np
+
+    from srbd_horizon_tpu.config import DDPOptions, SRBDConfig
+    from srbd_horizon_tpu.models.kangaroo import kangaroo_line_feet
+    from srbd_horizon_tpu.problems.srbd import build_srbd_problem
+    from srbd_horizon_tpu.runtime.bridge import (
+        FleetRouter, recv_result, send_command,
+    )
+    from srbd_horizon_tpu.runtime.health import HealthMonitor
+    from srbd_horizon_tpu.runtime.loop import MPCLoop, TickInput
+    from srbd_horizon_tpu.solvers.msddp import MSDDP
+    from srbd_horizon_tpu.wpg import WalkingPatternGenerator
+
+    dtype = jnp.float64 if args.f64 else jnp.float32
+    cfg = SRBDConfig(dtype=dtype)
+    prob = build_srbd_problem(cfg, kangaroo_line_feet())
+    solver = MSDDP(
+        prob.ocp,
+        DDPOptions(max_iters=5, alpha_converge_threshold=1e-12, beta=1e-3),
+    )
+    wpg = WalkingPatternGenerator.build(0.0, cfg.ns, dtype=dtype)
+    loop = MPCLoop(solver=solver, wpg=wpg, srbd_constants=prob.ocp.constants,
+                   shift_warmstart=True)
+    monitor = HealthMonitor()
+
+    B = args.robots
+    x0 = jnp.tile(prob.initial_state[None], (B, 1))
+    carries = jax.vmap(loop.init)(x0)
+
+    @jax.jit
+    def vtick(carry, inp):
+        # tick + failure detection + in-place recovery, one jit
+        return monitor.monitored_tick_batch(
+            loop, carry, inp, x_safe=prob.initial_state
+        )
+
+    router = FleetRouter(port, B)
+    print(f"serving {B} robots on udp:{port} at {args.hz} Hz", flush=True)
+
+    clients = []
+    results_seen = {}
+    if args.selftest:
+        stop = threading.Event()
+
+        def client(rid):
+            s = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+            vx = 0.1 + 0.01 * rid
+            while not stop.is_set():
+                send_command(s, ("127.0.0.1", port), rid, 1, vx, 0.0)
+                res = recv_result(s, timeout=0.3)
+                if res is not None and res[0] == rid:
+                    results_seen[rid] = res[1]
+            s.close()
+
+        for rid in range(B):
+            t = threading.Thread(target=client, args=(rid,), daemon=True)
+            t.start()
+            clients.append(t)
+
+    period = 1.0 / args.hz
+    deadline_misses = 0
+    try:
+        for t in range(args.ticks):
+            t0 = time.perf_counter()
+            actions, rdot, _wz, counts, seen = router.snapshot()
+            inp = TickInput(
+                action=jnp.asarray(actions),
+                rdot_ref=jnp.asarray(rdot, dtype),
+                w_ref=jnp.zeros((B, 3), dtype),
+            )
+            carries, out, report = vtick(carries, inp)
+            n_reset = B - int(np.sum(np.asarray(report.healthy)))
+            x = np.asarray(out.x)
+            rows = np.zeros((B, 6), np.float32)
+            rows[:, 0:3] = x[:, 0:3]
+            rows[:, 3] = np.asarray(out.cost)
+            rows[:, 4] = np.asarray(out.iterations)
+            rows[:, 5] = np.asarray(out.converged)
+            router.send_results(rows)
+            dt = time.perf_counter() - t0
+            if dt > period:
+                deadline_misses += 1
+            if t % 20 == 0:
+                print(f"tick {t:4d}: {dt*1e3:6.1f} ms  robots_heard={seen} "
+                      f"resets={n_reset} cost_mean={rows[:,3].mean():.1f}",
+                      flush=True)
+            time.sleep(max(0.0, period - dt))
+    finally:
+        if args.selftest:
+            stop.set()
+            for t in clients:
+                t.join(timeout=1.0)
+        router.close()
+
+    print(f"done: {args.ticks} ticks, deadline_misses={deadline_misses}")
+    if args.selftest:
+        ok = len(results_seen) == B
+        print(f"selftest: {len(results_seen)}/{B} robots received results "
+              f"-> {'ok' if ok else 'FAIL'}")
+        return 0 if ok else 1
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -25,10 +25,13 @@
 #include <fcntl.h>
 #include <netinet/in.h>
 #include <string>
+#include <mutex>
 #include <sys/mman.h>
 #include <sys/socket.h>
 #include <sys/stat.h>
+#include <thread>
 #include <unistd.h>
+#include <vector>
 
 namespace {
 
@@ -56,6 +59,63 @@ struct Ring {
   std::string name;
   bool owner;
   size_t total;
+};
+
+// ---- fleet command router ----
+// N robots × UDP command streams fan IN to one per-robot slot table the
+// MPC process snapshots once per tick; per-robot result rows fan OUT to
+// each robot's last source address. The receive loop runs on a native
+// thread (off the Python GIL); each slot is a single-writer seqlock so
+// snapshots are tear-free without blocking the receiver. This is the
+// fleet-scale analog of the reference's per-robot ROS graph (one /joy +
+// /cartesian/* set per process, SURVEY.md §5.8) — here ONE process
+// serves B robots per tick.
+
+constexpr uint32_t kCmdMagic = 0x464C5254;  // "FLRT"
+constexpr uint32_t kResMagic = 0x464C5253;  // "FLRS"
+
+struct CmdPacket {
+  uint32_t magic;
+  uint32_t robot_id;
+  int32_t action;
+  float vx, vy, wz;
+};
+
+struct Slot {
+  std::mutex mu;  // guards everything below (held ~ns; receiver is the
+                  // only writer, the per-tick snapshot the only reader)
+  int32_t action = 0;
+  float vx = 0, vy = 0, wz = 0;
+  uint64_t count = 0;   // packets accepted
+  sockaddr_in src{};    // last sender (for the result fan-out)
+};
+
+struct Router {
+  int fd = -1;
+  std::atomic<bool> stop{false};
+  std::vector<Slot> slots;  // sized once at construction, never resized
+  std::thread th;
+
+  void loop() {
+    CmdPacket pkt;
+    while (!stop.load(std::memory_order_acquire)) {
+      sockaddr_in from{};
+      socklen_t fl = sizeof(from);
+      ssize_t n = recvfrom(fd, &pkt, sizeof(pkt), 0, (sockaddr*)&from, &fl);
+      if (n < 0) continue;  // SO_RCVTIMEO tick — re-check stop
+      if (n != (ssize_t)sizeof(CmdPacket) || pkt.magic != kCmdMagic)
+        continue;
+      if (pkt.robot_id >= slots.size()) continue;
+      Slot& s = slots[pkt.robot_id];
+      std::lock_guard<std::mutex> lk(s.mu);
+      s.action = pkt.action;
+      s.vx = pkt.vx;
+      s.vy = pkt.vy;
+      s.wz = pkt.wz;
+      s.count += 1;
+      s.src = from;
+    }
+  }
 };
 
 }  // namespace
@@ -236,6 +296,98 @@ void ring_destroy(void* h) {
   if (!r) return;
   munmap((void*)r->hdr, r->total);
   if (r->owner) shm_unlink(r->name.c_str());
+  delete r;
+}
+
+// ---------------- fleet command router ----------------
+
+// Bind `port`, allocate `n_robots` command slots, start the receive
+// thread. Returns a handle or nullptr.
+void* router_create(int port, int n_robots) {
+  if (n_robots <= 0) return nullptr;
+  Router* r = new Router();
+  r->slots = std::vector<Slot>((size_t)n_robots);
+  r->fd = socket(AF_INET, SOCK_DGRAM, 0);
+  if (r->fd < 0) {
+    delete r;
+    return nullptr;
+  }
+  int one = 1;
+  setsockopt(r->fd, SOL_SOCKET, SO_REUSEADDR, &one, sizeof(one));
+  int rcvbuf = 1 << 22;  // burst headroom for thousands of clients
+  setsockopt(r->fd, SOL_SOCKET, SO_RCVBUF, &rcvbuf, sizeof(rcvbuf));
+  timeval tv{0, 100000};  // 100 ms recv timeout: the stop-flag poll rate
+  setsockopt(r->fd, SOL_SOCKET, SO_RCVTIMEO, &tv, sizeof(tv));
+  sockaddr_in addr{};
+  addr.sin_family = AF_INET;
+  addr.sin_port = htons((uint16_t)port);
+  addr.sin_addr.s_addr = INADDR_ANY;
+  if (bind(r->fd, (sockaddr*)&addr, sizeof(addr)) < 0) {
+    close(r->fd);
+    delete r;
+    return nullptr;
+  }
+  r->th = std::thread([r] { r->loop(); });
+  return r;
+}
+
+// Copy every slot's latest command into out (n_robots × 4 floats:
+// action, vx, vy, wz) and counts (n_robots uint64, total packets
+// accepted per robot). Returns the number of robots heard from so far.
+int router_snapshot(void* h, float* out, uint64_t* counts) {
+  Router* r = (Router*)h;
+  int seen = 0;
+  for (size_t i = 0; i < r->slots.size(); i++) {
+    Slot& s = r->slots[i];
+    std::lock_guard<std::mutex> lk(s.mu);
+    out[4 * i + 0] = (float)s.action;
+    out[4 * i + 1] = s.vx;
+    out[4 * i + 2] = s.vy;
+    out[4 * i + 3] = s.wz;
+    counts[i] = s.count;
+    if (s.count > 0) seen++;
+  }
+  return seen;
+}
+
+// Fan per-robot result rows back out: rows is n_robots × n_vals floats;
+// each robot that has ever sent a command gets one datagram
+// [kResMagic, robot_id, n_vals, vals...] at its last source address.
+// Returns the number of datagrams sent.
+int router_send_results(void* h, const float* rows, int n_vals) {
+  Router* r = (Router*)h;
+  if (n_vals < 0 || n_vals > 16000) return -1;
+  std::string buf;
+  buf.resize(12 + 4 * (size_t)n_vals);
+  int sent = 0;
+  for (size_t i = 0; i < r->slots.size(); i++) {
+    sockaddr_in dst{};
+    {
+      Slot& s = r->slots[i];
+      std::lock_guard<std::mutex> lk(s.mu);
+      if (s.count == 0) continue;
+      dst = s.src;
+    }
+    char* w = buf.data();
+    memcpy(w, &kResMagic, 4);
+    uint32_t id = (uint32_t)i;
+    memcpy(w + 4, &id, 4);
+    uint32_t nv = (uint32_t)n_vals;
+    memcpy(w + 8, &nv, 4);
+    memcpy(w + 12, rows + (size_t)i * n_vals, 4 * (size_t)n_vals);
+    if (sendto(r->fd, buf.data(), buf.size(), 0, (sockaddr*)&dst,
+               sizeof(dst)) == (ssize_t)buf.size())
+      sent++;
+  }
+  return sent;
+}
+
+void router_destroy(void* h) {
+  Router* r = (Router*)h;
+  if (!r) return;
+  r->stop.store(true, std::memory_order_release);
+  if (r->th.joinable()) r->th.join();
+  close(r->fd);
   delete r;
 }
 

@@ -15,14 +15,21 @@
 // Exits 0 iff every record arrived intact in order; any data race /
 // UB / heap error is reported by the sanitizer runtime (non-zero exit).
 
+#include <arpa/inet.h>
 #include <atomic>
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
+#include <netinet/in.h>
+#include <sys/socket.h>
 #include <thread>
 #include <unistd.h>
 
 extern "C" {
+void* router_create(int port, int n_robots);
+int router_snapshot(void* h, float* out, uint64_t* counts);
+int router_send_results(void* h, const float* rows, int n_vals);
+void router_destroy(void* h);
 void* ring_create(const char* name, uint64_t capacity, int create);
 int ring_push(void* h, const void* data, uint32_t len);
 int ring_pop(void* h, void* buf, uint32_t buf_cap);
@@ -126,11 +133,83 @@ int run_udp_roundtrip() {
   return rc;
 }
 
+// Fleet router under concurrency: a sender thread blasts command
+// packets round-robin over the robot ids while the main thread
+// snapshots continuously (the per-tick pattern) — TSan checks the
+// receive-thread/snapshot locking; content checks catch torn slots.
+// Packets carry vx = robot_id + 0.5 and wz = 2·robot_id so ANY snapshot
+// row must satisfy both invariants regardless of which packet landed
+// last (UDP bursts on loopback may drop under load; the invariant is
+// loss-tolerant).
+int run_router_stress() {
+  const int port = 48000 + (int)(getpid() % 1000);
+  constexpr int kRobots = 8;
+  constexpr int kPackets = 20000;
+  void* router = router_create(port, kRobots);
+  void* pub_sock = bridge_pub_create("127.0.0.1", port);  // raw sender fd
+  if (!router || !pub_sock) {
+    fprintf(stderr, "router setup failed\n");
+    return 1;
+  }
+  bridge_pub_destroy(pub_sock);  // we need a raw socket, not the framed pub
+
+  std::atomic<bool> done{false};
+  std::thread sender([&] {
+    int fd = socket(AF_INET, SOCK_DGRAM, 0);
+    sockaddr_in addr{};
+    addr.sin_family = AF_INET;
+    addr.sin_port = htons((uint16_t)port);
+    inet_pton(AF_INET, "127.0.0.1", &addr.sin_addr);
+    struct {
+      uint32_t magic, id;
+      int32_t action;
+      float vx, vy, wz;
+    } pkt{0x464C5254u, 0, 1, 0.f, 0.f, 0.f};
+    for (int k = 0; k < kPackets; k++) {
+      uint32_t id = (uint32_t)(k % kRobots);
+      pkt.id = id;
+      pkt.vx = (float)id + 0.5f;
+      pkt.vy = -(float)id;
+      pkt.wz = 2.0f * (float)id;
+      sendto(fd, &pkt, sizeof(pkt), 0, (sockaddr*)&addr, sizeof(addr));
+      if (k % 64 == 0) std::this_thread::yield();  // let the ring drain
+    }
+    close(fd);
+    done.store(true, std::memory_order_release);
+  });
+
+  float out[4 * kRobots];
+  uint64_t counts[kRobots];
+  int errors = 0;
+  uint64_t total = 0;
+  while (!done.load(std::memory_order_acquire) || total == 0) {
+    router_snapshot(router, out, counts);
+    total = 0;
+    for (int i = 0; i < kRobots; i++) {
+      total += counts[i];
+      if (counts[i] == 0) continue;  // nothing landed yet
+      // torn-slot check: every field must belong to the SAME robot
+      if (out[4 * i + 1] != (float)i + 0.5f || out[4 * i + 2] != -(float)i ||
+          out[4 * i + 3] != 2.0f * (float)i || out[4 * i + 0] != 1.0f) {
+        errors++;
+      }
+    }
+  }
+  sender.join();
+  router_destroy(router);
+  if (errors) fprintf(stderr, "router: %d torn snapshots\n", errors);
+  if (total == 0) {
+    fprintf(stderr, "router: no packets arrived\n");
+    return 1;
+  }
+  return errors;
+}
+
 }  // namespace
 
 int main() {
-  int rc = run_ring_stress() + run_udp_roundtrip();
-  if (rc == 0) printf("bridge stress: OK (%u records, udp roundtrip)\n",
-                      kRecords);
+  int rc = run_ring_stress() + run_udp_roundtrip() + run_router_stress();
+  if (rc == 0) printf("bridge stress: OK (%u records, udp roundtrip, "
+                      "router fan-in)\n", kRecords);
   return rc;
 }

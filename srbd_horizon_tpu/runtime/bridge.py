@@ -56,6 +56,17 @@ def _load_lib() -> Optional[ctypes.CDLL]:
     lib.ring_pop.restype = ctypes.c_int
     lib.ring_pop.argtypes = [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_uint32]
     lib.ring_destroy.argtypes = [ctypes.c_void_p]
+    lib.router_create.restype = ctypes.c_void_p
+    lib.router_create.argtypes = [ctypes.c_int, ctypes.c_int]
+    lib.router_snapshot.restype = ctypes.c_int
+    lib.router_snapshot.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+    ]
+    lib.router_send_results.restype = ctypes.c_int
+    lib.router_send_results.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int,
+    ]
+    lib.router_destroy.argtypes = [ctypes.c_void_p]
     return lib
 
 
@@ -165,6 +176,98 @@ class Subscriber:
             self._lib.bridge_sub_destroy(self._h)
         else:
             self._sock.close()
+
+
+_CMD_MAGIC = 0x464C5254  # "FLRT"
+_RES_MAGIC = 0x464C5253  # "FLRS"
+
+
+class FleetRouter:
+    """Native fleet command router (C++ receive thread, off the GIL):
+    B robots send 24-byte UDP command packets; the serving loop calls
+    `snapshot()` once per tick to get the whole fleet's latest commands
+    as arrays, and `send_results(rows)` to fan per-robot result rows
+    back to each robot's last source address. The fleet-scale analog of
+    the reference's per-robot ROS graph (/joy in, telemetry out —
+    SURVEY.md §5.8): one process serves the whole fleet.
+
+    Wire formats (little-endian):
+      command: [u32 0x464C5254]["FLRT"][u32 robot_id][i32 action]
+               [f32 vx][f32 vy][f32 wz]                (send_command)
+      result:  [u32 0x464C5253][u32 robot_id][u32 n_vals][f32 × n_vals]
+                                                        (recv_result)
+    """
+
+    def __init__(self, port: int, n_robots: int):
+        lib = get_lib()
+        if lib is None:
+            raise RuntimeError("native bridge library unavailable")
+        self._lib = lib
+        self.n_robots = n_robots
+        self._h = lib.router_create(port, n_robots)
+        if not self._h:
+            raise OSError(f"router_create(port={port}) failed")
+        self._cmd = (ctypes.c_float * (4 * n_robots))()
+        self._cnt = (ctypes.c_uint64 * n_robots)()
+
+    def snapshot(self):
+        """Latest per-robot commands: (actions int32 (B,), rdot_ref
+        float32 (B, 3) as [vx, vy, 0], wz float32 (B,), counts uint64
+        (B,), n_seen). Robots never heard from hold zeros (stance)."""
+        import numpy as np
+
+        seen = self._lib.router_snapshot(self._h, self._cmd, self._cnt)
+        flat = np.ctypeslib.as_array(self._cmd).reshape(self.n_robots, 4)
+        counts = np.ctypeslib.as_array(self._cnt).copy()
+        actions = flat[:, 0].astype(np.int32)
+        rdot = np.zeros((self.n_robots, 3), np.float32)
+        rdot[:, 0] = flat[:, 1]
+        rdot[:, 1] = flat[:, 2]
+        return actions, rdot, flat[:, 3].copy(), counts, int(seen)
+
+    def send_results(self, rows) -> int:
+        """rows: float32 array (n_robots, n_vals) — one datagram per
+        robot that has sent at least one command. Returns datagrams
+        sent."""
+        import numpy as np
+
+        rows = np.ascontiguousarray(rows, np.float32)
+        assert rows.shape[0] == self.n_robots
+        return self._lib.router_send_results(
+            self._h, rows.ctypes.data_as(ctypes.c_void_p), rows.shape[1]
+        )
+
+    def close(self) -> None:
+        if self._h:
+            self._lib.router_destroy(self._h)
+            self._h = None
+
+
+def send_command(sock: socket.socket, addr, robot_id: int, action: int,
+                 vx: float, vy: float = 0.0, wz: float = 0.0) -> None:
+    """Client side: send one command packet from `sock` (results come
+    back to the same socket — plain UDP request/response)."""
+    sock.sendto(
+        struct.pack("<IIifff", _CMD_MAGIC, robot_id, action, vx, vy, wz),
+        addr,
+    )
+
+
+def recv_result(sock: socket.socket, timeout: float = 1.0):
+    """Client side: receive one result row -> (robot_id, [floats]) or
+    None on timeout."""
+    sock.settimeout(timeout)
+    try:
+        pkt = sock.recv(65536)
+    except socket.timeout:
+        return None
+    if len(pkt) < 12:
+        return None
+    magic, rid, n_vals = struct.unpack_from("<III", pkt, 0)
+    if magic != _RES_MAGIC or len(pkt) < 12 + 4 * n_vals:
+        return None
+    vals = struct.unpack_from(f"<{n_vals}f", pkt, 12)
+    return rid, list(vals)
 
 
 class ShmRing:
