@@ -94,3 +94,25 @@ class TestCheckpoint:
             np.asarray(c_a.wpg_state.step_counter),
             np.asarray(c_b.wpg_state.step_counter),
         )
+
+
+class TestSoakTool:
+    def test_soak_smoke(self):
+        """tools/soak.py: the sustained-serving soak's health gates pass
+        on a small CPU fleet and its JSON is well-formed (the TPU run is
+        recorded in BENCH_NOTES.md round 3: 1000 ticks at B=512, ok)."""
+        import json
+        import subprocess
+        import sys
+        from pathlib import Path
+
+        root = Path(__file__).resolve().parents[1]
+        out = subprocess.run(
+            [sys.executable, "tools/soak.py", "6", "30", "--cpu"],
+            capture_output=True, text=True, timeout=600, cwd=root,
+        )
+        assert out.returncode == 0, out.stderr[-800:]
+        rec = json.loads(out.stdout.strip().splitlines()[-1])
+        assert rec["ok"] is True
+        assert rec["solves"] == 180
+        assert rec["max_defect"] < 1e-4
