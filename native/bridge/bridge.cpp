@@ -65,8 +65,9 @@ struct Ring {
 // N robots × UDP command streams fan IN to one per-robot slot table the
 // MPC process snapshots once per tick; per-robot result rows fan OUT to
 // each robot's last source address. The receive loop runs on a native
-// thread (off the Python GIL); each slot is a single-writer seqlock so
-// snapshots are tear-free without blocking the receiver. This is the
+// thread (off the Python GIL); each slot is guarded by its own mutex
+// (held for ~ns by the single writer and the once-per-tick snapshot
+// reader — contention is negligible at these rates). This is the
 // fleet-scale analog of the reference's per-robot ROS graph (one /joy +
 // /cartesian/* set per process, SURVEY.md §5.8) — here ONE process
 // serves B robots per tick.

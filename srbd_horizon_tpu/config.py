@@ -274,8 +274,11 @@ class DDPOptions:
     # the compacted sub-batch, and scatters the results back (the
     # gather/scatter is ~1 ms of HBM traffic vs ~40 ms of iteration
     # compute at B=4096). Per-member arithmetic is lane-position
-    # independent, so results are bit-identical to the full-batch path
-    # (tests/test_batched_solver.py::TestActiveCompaction). Compile cost:
+    # independent, so results match the full-batch path to rounding
+    # (≈1e-15 rel on f64 — the nested lax.cond dispatch changes XLA
+    # codegen, so NOT bit-identical; iteration counts and convergence
+    # flags match exactly —
+    # tests/test_batched_solver.py::TestActiveCompaction). Compile cost:
     # one extra copy of the iteration body per level (measured
     # negligible). Default 4 — measured on TPU v5e-lite (B=4096
     # heterogeneous fleet, tools/bench_opts.py --noise 0.005):

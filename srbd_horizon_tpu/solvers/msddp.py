@@ -1078,6 +1078,22 @@ class MSDDP:
             it=jnp.where(active, state.it + 1, state.it),
         )
 
+    def compaction_levels(self, Bsz: int):
+        """Compacted sub-batch sizes [B/2, B/4, …] that the active-set
+        compaction will actually use for a batch of size Bsz: one per
+        `opts.active_compact_levels`, skipping any level whose sub-batch
+        would drop below 32 lanes (a sub-32 gather wastes the 8×128
+        vector registers and the gather/scatter overhead dominates).
+        Empty ⇒ compaction is a no-op at this batch size — callers that
+        rely on the compacted path engaging should check this."""
+        levels = []
+        M = Bsz
+        for _ in range(self.opts.active_compact_levels):
+            M //= 2
+            if M >= 32:
+                levels.append(M)
+        return levels
+
     def _iteration_compacted(self, state: _IterState, x0, params):
         """Active-set compaction (opts.active_compact_levels): when the
         still-active members fit in B/2^l lanes, gather just those, run
@@ -1087,21 +1103,20 @@ class MSDDP:
         otherwise drag every converged member through linearize +
         backward + trial; the gather/scatter costs ~1 ms of HBM traffic
         against ~40 ms of iteration compute at B=4096. Per-member
-        arithmetic is lane-position independent → results are
-        bit-identical to the full-batch path. Unfilled gather slots read
-        zeros (mode="fill"): their NaN/garbage trial results fail the
+        arithmetic is lane-position independent, so results match the
+        full-batch path to ROUNDING (≈1e-15 rel on f64): wrapping the
+        iteration body in nested lax.cond changes XLA's fusion/codegen,
+        so bit-identity does NOT hold — iteration counts and convergence
+        flags DO match exactly (tests/test_batched_solver.py::
+        TestActiveCompaction). Unfilled gather slots read zeros
+        (mode="fill"): their NaN/garbage trial results fail the
         finite/worth gates inside the iteration (they never trigger the
         fan) and their outputs are dropped by the out-of-bounds scatter
         index (mode="drop")."""
         Bsz = state.cost.shape[0]
         active = ~state.converged
         count = jnp.sum(active)
-        levels = []
-        M = Bsz
-        for _ in range(self.opts.active_compact_levels):
-            M //= 2
-            if M >= 32:
-                levels.append(M)
+        levels = self.compaction_levels(Bsz)
 
         def full(_):
             return self._iteration_batch(state, x0, params)

@@ -76,38 +76,70 @@ class TestLaneMajorRollout:
 
 class TestActiveCompaction:
     """opts.active_compact_levels: iterations executed on a compacted
-    active sub-batch must be BIT-identical to the full-batch path
-    (per-member arithmetic is lane-position independent)."""
+    active sub-batch must match the full-batch path to f64 rounding
+    (per-member arithmetic is lane-position independent; the nested
+    lax.cond dispatch changes XLA codegen so bit-identity does NOT
+    hold), with iteration counts and convergence flags exactly equal.
+    Levels below 32 lanes are skipped, so the batch must be ≥64 for any
+    level to engage at all — asserted via solver.compaction_levels."""
 
-    def test_bit_identical(self):
+    def test_rounding_equivalent_and_engaged(self):
         import dataclasses
 
-        cfg = SRBDConfig(dtype=jnp.float64)
-        prob = build_srbd_problem(cfg, kangaroo_line_feet())
-        B = 16
-        key = jax.random.key(5)
-        x0 = jnp.tile(prob.initial_state[None], (B, 1))
-        # 0.02 noise: members converge at visibly different iterations,
-        # so the B/2 and B/4 compaction levels actually engage
-        x0 = x0 + 0.02 * jax.random.normal(key, x0.shape, jnp.float64)
+        ocp = _atan_ocp()
+        B = 64
+        # 48 members start near the optimum (converge in 1-2 iterations),
+        # 16 start far out (GN overshoots → backtracking, many iterations)
+        # ⇒ the active count drops to ≤B/2=32 early and the compacted
+        # branch executes for the remaining iterations.
+        near = 0.05 * jnp.cos(jnp.arange(48.0))[:, None]
+        far = (4.0 + jnp.arange(16.0))[:, None]
+        x0 = jnp.concatenate([near, far]).astype(jnp.float64)
         params = jax.tree.map(
-            lambda a: jnp.tile(a[None], (B,) + (1,) * a.ndim),
-            prob.ocp.params,
+            lambda a: jnp.tile(a[None], (B,) + (1,) * a.ndim), ocp.params
         )
-        base = MSDDP(prob.ocp, DDPOptions(max_iters=8))
-        comp = MSDDP(
-            prob.ocp,
-            dataclasses.replace(base.opts, active_compact_levels=2),
+        opts = DDPOptions(
+            max_iters=12, alpha_converge_threshold=1e-12, beta=1e-3
         )
+        base = MSDDP(ocp, opts)
+        comp = MSDDP(ocp, dataclasses.replace(opts, active_compact_levels=1))
+        assert comp.compaction_levels(B) == [32], "level must engage at B=64"
         sols = jax.vmap(base.init)(x0)
         ref = jax.jit(base.solve_batch)(sols, x0, params)
         got = jax.jit(comp.solve_batch)(sols, x0, params)
-        assert bool(jnp.all(ref.iterations == got.iterations))
-        # compaction must actually have had something to do
+        # the scenario must actually exercise compaction: members converge
+        # at spread-out iterations and the slowest needs > 1 iteration
         assert int(jnp.max(ref.iterations)) > int(jnp.min(ref.iterations))
-        assert bool(jnp.all(ref.X == got.X))
-        assert bool(jnp.all(ref.U == got.U))
-        assert bool(jnp.all(ref.converged == got.converged))
+        assert int(jnp.max(ref.iterations)) >= 3
+        np.testing.assert_array_equal(
+            np.asarray(got.iterations), np.asarray(ref.iterations)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(got.converged), np.asarray(ref.converged)
+        )
+        np.testing.assert_allclose(
+            np.asarray(got.X), np.asarray(ref.X), rtol=1e-13, atol=1e-14
+        )
+        np.testing.assert_allclose(
+            np.asarray(got.U), np.asarray(ref.U), rtol=1e-13, atol=1e-14
+        )
+        np.testing.assert_allclose(
+            np.asarray(got.cost), np.asarray(ref.cost), rtol=1e-12
+        )
+
+    def test_sub32_levels_skipped(self):
+        """At B=16 no level clears the 32-lane floor — compaction must be
+        a declared no-op (guards against silently-vacuous configs)."""
+        import dataclasses
+
+        ocp = _atan_ocp()
+        comp = MSDDP(
+            ocp,
+            dataclasses.replace(DDPOptions(), active_compact_levels=2),
+        )
+        assert comp.compaction_levels(16) == []
+        assert comp.compaction_levels(64) == [32]
+        assert comp.compaction_levels(256) == [128, 64]
 
 
 class TestTickBatch:
