@@ -28,14 +28,30 @@ class CartesianReferenceFormatter:
     def make_references(self, solution: Dict[str, np.ndarray],
                         node: int = 1) -> Dict:
         """Extract node-`node` references (the reference publishes node 1 —
-        the first future state, dsrbd_example.py:177)."""
+        the first future state, dsrbd_example.py:177). Velocity channels
+        mirror the reference's provisioned `/velocity_reference` surface
+        (cartesio.py:7,29-37): CoM linear velocity = rdot, base angular
+        velocity = w, foot linear velocity = cdot of the pair's FIRST
+        contact (cartesio.py:74 forwards `cdot[frame][0]`, not the
+        midpoint average — the pair is rigid so both match anyway).
+        Missing channels (LIP has no w) default to zero, matching the
+        reference's zero-initialized TwistStamped (cartesio.py:16)."""
         cm = self.contact_model
+        zeros = np.zeros((node + 1, 3))
         refs: Dict = {
-            "com": {"position": np.asarray(solution["r"][node]).tolist()},
+            "com": {
+                "position": np.asarray(solution["r"][node]).tolist(),
+                "linear_velocity": np.asarray(
+                    solution.get("rdot", zeros)[node]
+                ).tolist(),
+            },
             "base_link": {
                 "orientation": np.asarray(
                     solution.get("o", np.array([[0, 0, 0, 1.0]] * (node + 1)))[node]
-                ).tolist()
+                ).tolist(),
+                "angular_velocity": np.asarray(
+                    solution.get("w", zeros)[node]
+                ).tolist(),
             },
         }
         for leg, frame in enumerate(self.frames):
@@ -44,5 +60,10 @@ class CartesianReferenceFormatter:
                 for k in range(cm)
             ]
             # line feet: midpoint of the contact pair (cartesio.py:66-72)
-            refs[frame] = {"position": (sum(pts) / len(pts)).tolist()}
+            refs[frame] = {
+                "position": (sum(pts) / len(pts)).tolist(),
+                "linear_velocity": np.asarray(
+                    solution.get(f"cdot{leg * cm}", zeros)[node]
+                ).tolist(),
+            }
         return refs

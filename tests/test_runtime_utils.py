@@ -116,3 +116,75 @@ class TestSoakTool:
         assert rec["ok"] is True
         assert rec["solves"] == 180
         assert rec["max_defect"] < 1e-4
+
+
+class TestCartesianReferences:
+    """make_references must carry the reference's provisioned velocity
+    channels (cartesio.py:29-37: setLinearVelocity/setAngularVelocity per
+    link) alongside positions — rdot on com, w on base_link, the pair's
+    first cdot on each foot (cartesio.py:74)."""
+
+    def _solution(self, nodes=3):
+        rng = np.random.default_rng(3)
+        sol = {
+            "r": rng.normal(size=(nodes, 3)),
+            "rdot": rng.normal(size=(nodes, 3)),
+            "o": rng.normal(size=(nodes, 4)),
+            "w": rng.normal(size=(nodes, 3)),
+        }
+        for i in range(4):
+            sol[f"c{i}"] = rng.normal(size=(nodes, 3))
+            sol[f"cdot{i}"] = rng.normal(size=(nodes, 3))
+        return sol
+
+    def test_velocity_channels(self):
+        from srbd_horizon_tpu.io.cartesio import CartesianReferenceFormatter
+
+        sol = self._solution()
+        ci = CartesianReferenceFormatter(
+            ["left_sole_link", "right_sole_link"], contact_model=2
+        )
+        refs = ci.make_references(sol, node=1)
+        np.testing.assert_allclose(refs["com"]["position"], sol["r"][1])
+        np.testing.assert_allclose(
+            refs["com"]["linear_velocity"], sol["rdot"][1]
+        )
+        np.testing.assert_allclose(
+            refs["base_link"]["orientation"], sol["o"][1]
+        )
+        np.testing.assert_allclose(
+            refs["base_link"]["angular_velocity"], sol["w"][1]
+        )
+        # line-feet midpoint position + FIRST-contact velocity per foot
+        np.testing.assert_allclose(
+            refs["left_sole_link"]["position"],
+            (sol["c0"][1] + sol["c1"][1]) / 2,
+        )
+        np.testing.assert_allclose(
+            refs["left_sole_link"]["linear_velocity"], sol["cdot0"][1]
+        )
+        np.testing.assert_allclose(
+            refs["right_sole_link"]["position"],
+            (sol["c2"][1] + sol["c3"][1]) / 2,
+        )
+        np.testing.assert_allclose(
+            refs["right_sole_link"]["linear_velocity"], sol["cdot2"][1]
+        )
+
+    def test_lip_defaults(self):
+        """LIP solutions have no orientation/angular-velocity states —
+        channels default to identity quat / zero twist (the reference's
+        zero-initialized TwistStamped, cartesio.py:16)."""
+        from srbd_horizon_tpu.io.cartesio import CartesianReferenceFormatter
+
+        sol = self._solution()
+        del sol["o"], sol["w"]
+        ci = CartesianReferenceFormatter(
+            ["left_sole_link", "right_sole_link"], contact_model=2
+        )
+        refs = ci.make_references(sol, node=1)
+        assert refs["base_link"]["orientation"] == [0, 0, 0, 1.0]
+        assert refs["base_link"]["angular_velocity"] == [0.0, 0.0, 0.0]
+        np.testing.assert_allclose(
+            refs["com"]["linear_velocity"], sol["rdot"][1]
+        )
