@@ -46,8 +46,10 @@ import jax.numpy as jnp
 from srbd_horizon_tpu.ocp.layout import VarLayout
 
 
-def _zero_vec(*_args) -> jnp.ndarray:
-    return jnp.zeros((0,))
+def _zero_vec(x, *_args) -> jnp.ndarray:
+    # follow the state dtype: a bare zeros((0,)) is float64 under jax
+    # x64 and silently promotes every stack it is concatenated into
+    return jnp.zeros((0,), jnp.asarray(x).dtype)
 
 
 @dataclasses.dataclass(frozen=True)
