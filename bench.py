@@ -135,7 +135,37 @@ def _measure(batch: int, n_ticks: int, ns: int, max_iters: int,
     finite = bool(np.all(np.isfinite(np.asarray(out.x))))
     max_defect = float(np.max(np.asarray(out.defect_norm)))
     iters_mean = float(np.mean(np.asarray(out.iterations)))
-    return times, finite, max_defect, iters_mean
+
+    device_stats = None
+    if per_tick_sync:
+        # DEVICE-side latency decomposition: every per-tick-sync sample
+        # above includes one host↔device round-trip (on axon: tunnel
+        # RTT, 26-44 ms run-to-run — it dominates and its jitter is
+        # indistinguishable from solver regressions). Estimate the pure
+        # on-device tick time by paired window differencing: time a
+        # chained dispatch of W2 ticks and of W1 ticks (each pays the
+        # same single readback), difference them — the RTT and readback
+        # cancel, leaving (W2-W1) device ticks. Percentiles over the
+        # paired samples.
+        w1, w2, reps = 2, 8, 12
+        diffs = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            for _ in range(w1):
+                carries, out = vtick(carries, inp)
+            _drain(out)
+            t1 = time.perf_counter()
+            for _ in range(w2):
+                carries, out = vtick(carries, inp)
+            _drain(out)
+            t2 = time.perf_counter()
+            diffs.append(((t2 - t1) - (t1 - t0)) / (w2 - w1))
+        d = np.asarray(diffs) * 1e3
+        device_stats = {
+            "device_p50_ms": round(float(np.percentile(d, 50)), 2),
+            "device_p99_ms": round(float(np.percentile(d, 99)), 2),
+        }
+    return times, finite, max_defect, iters_mean, device_stats
 
 
 def _rtt_ms() -> float:
@@ -160,7 +190,7 @@ def main(batch: int = 4096, n_ticks: int = 10, ns: int = 20,
     # 512 is the largest power-of-two fleet that clears the budget:
     # measured p50 64.1 / p99 67.8 ms (B=256: p50 44.4 / p99 50.1; B=1024
     # at ~253 ms/tick is far past it — BENCH_NOTES.md batch scaling)
-    lat_times, lat_finite, lat_defect, lat_iters = _measure(
+    lat_times, lat_finite, lat_defect, lat_iters, device_stats = _measure(
         realtime_batch, max(100, n_ticks), ns, max_iters
     )
     p50_ms = float(np.percentile(lat_times, 50) * 1e3)
@@ -169,7 +199,7 @@ def main(batch: int = 4096, n_ticks: int = 10, ns: int = 20,
     # THROUGHPUT operating point: the headline number — pipelined
     # steady-state ticks (dispatch chained, one host read at the end),
     # the way a serving fleet actually runs
-    thr_times, finite, max_defect, iters_mean = _measure(
+    thr_times, finite, max_defect, iters_mean, _ = _measure(
         batch, max(20, n_ticks), ns, max_iters, per_tick_sync=False
     )
     elapsed = float(np.sum(thr_times))
@@ -197,6 +227,11 @@ def main(batch: int = 4096, n_ticks: int = 10, ns: int = 20,
         "realtime_batch": realtime_batch,
         "p50_ms": round(p50_ms, 2),
         "p99_ms": round(p99_ms, 2),
+        # pure on-device tick time (paired window differencing — RTT and
+        # readback cancel): the solver's own latency, so an e2e p99 swing
+        # with a stable device_p99 is attributable to the tunnel, not a
+        # solver regression
+        **(device_stats or {}),
         "realtime_ok": bool(p50_ms <= 100.0),
         "realtime_solves_per_s": round(realtime_batch * 1e3 / p50_ms, 1),
         # backend dispatch+readback floor (tunnel RTT, included in every
