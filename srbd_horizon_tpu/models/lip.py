@@ -54,13 +54,26 @@ def lip_xdot(state, inputs, constants=None, eta2=ETA2):
 def lip_dynamics_residual(m, forces, r, rddot, contacts, eta2=ETA2):
     """Reconstruction of the missing `lip.LIP_dynamics(m, f, r, rddot, c)`
     (isrbd_example.py:24,345): 3-vector residual, zero when the CoM
-    acceleration matches a LIP pivoting about the contact centroid:
-        m ( r̈ - [η² (r - zmp) - g] ) = 0,  zmp = mean(contacts).
+    acceleration matches a LIP pivoting about the support centroid:
+        m ( r̈ - [η² (r - zmp) - g] ) = 0,
+        zmp = [mean(contacts)_xy, 0].
+    The pivot is the ZMP, which lives ON the support surface: its xy is
+    the contact centroid, its z the ground plane. (An earlier
+    reconstruction averaged the contact HEIGHTS into the pivot too; that
+    made the z-row structurally inconsistent with the fixed-CoM-height
+    LIP-zone constraint whenever a swing foot is airborne — the two rows
+    then disagree by η²·mean(c_z) ≈ 0.28 m/s² at apex, an irreducible
+    ~2e-2 scaled violation no AL schedule can remove. With the pivot on
+    the ground, r_z = const ⟺ rddot_z = η² r_z − g = 0 and the hybrid
+    stack is consistent through swing.)
     The `forces` argument participates only through the Newton equation
     consistency m(r̈ - g) = Σf, which the SRBD constraint on earlier nodes
     already covers; we keep the signature for API parity."""
     del forces
-    zmp = jnp.mean(contacts, axis=0)
+    zmp = jnp.concatenate([
+        jnp.mean(contacts[:, :2], axis=0),
+        jnp.zeros((1,), r.dtype),
+    ])
     return m * (rddot - lip_rddot(r, zmp, eta2))
 
 

@@ -92,6 +92,26 @@ class OCP:
     eq_scale: Optional[jnp.ndarray] = None
     eq_scale_T: Optional[jnp.ndarray] = None
 
+    # Optional per-row AL penalty STIFFNESS multipliers over the (scaled)
+    # equality stacks: the AL solver uses ρ_j = ρ·w_j for row j (penalty
+    # terms and multiplier updates; the violation measure stays in
+    # eq_scale units). Orthogonal to eq_scale: eq_scale normalizes UNITS
+    # so one ρ is meaningful across rows; eq_rho_weight sets how hard
+    # each row is driven. The physics: a row's per-update violation
+    # contraction is ρ_j/(ρ_j+K_j) where K_j is the cost curvature
+    # resisting it — geometric rows whose correction rides the dt²/2
+    # integrator gain have K ≈ (2/dt²)² ≈ 6.4e5, so at the f32-safe
+    # shared ρ=1e5 they contract only ~14%/update and a shifting MPC
+    # schedule never converges their multipliers. STATE-ONLY rows can
+    # take w ≈ 100-1000 safely: their penalty enters Quu only through
+    # BᵀVxxB ≈ (dt²/2)²·ρ_j (harmless), unlike input-touching rows whose
+    # w lands directly in Quu (f32-bounded, keep w ≲ 10). Upper bound:
+    # the online inner solve must still track ρ_j·h updates per tick or
+    # the multipliers overshoot and wind up (measured divergent at
+    # w=900 on the isrbd cz rows). None = all ones.
+    eq_rho_weight: Optional[jnp.ndarray] = None
+    eq_rho_weight_T: Optional[jnp.ndarray] = None
+
     # node-indexed variable box bounds (isrbd_example.py:188-221,425-431):
     # x bounds are (ns+1, nx), u bounds (ns, nu); None = unbounded.
     x_lb: Optional[jnp.ndarray] = None

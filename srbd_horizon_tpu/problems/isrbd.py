@@ -202,6 +202,26 @@ def build_isrbd_problem(
     eq_scale[n_relvel + nc : n_relvel + nc + 9] = 1.0 / (m * 9.81)
     eq_scale = jnp.asarray(eq_scale, dtype)
 
+    # Per-row AL penalty stiffness (OCP.eq_rho_weight — see the physics
+    # note there). Geometric STATE-ONLY rows ride the dt²/2 integrator
+    # gain (K ≈ 6.4e5 ≫ the f32-safe shared ρ=1e5) and bypass Quu, so
+    # they take w=100 (relvel, lipzone) / 400 (cz, the binding swing-
+    # tracking rows); the input-touching NE/LIP dynamics rows keep w=9
+    # (their penalty lands in Quu — f32-bounded). Measured on the online
+    # walking fleet (tools/diag_rho_weights.py, 80 ticks): steady-state
+    # scaled violation 2.1e-2 → 2.0e-3; w beyond ~900 on any row
+    # destabilizes (multiplier windup — the 5-iteration inner solve can
+    # no longer track the λ += ρw·h update).
+    eq_rho_w = np.ones(n_relvel + nc + 6 + 3 + 4)
+    eq_rho_w[:n_relvel] = 100.0
+    eq_rho_w[n_relvel : n_relvel + nc] = 400.0
+    eq_rho_w[n_relvel + nc : n_relvel + nc + 9] = 9.0
+    eq_rho_w[n_relvel + nc + 9 :] = 100.0
+    eq_rho_w_T = np.ones(n_relvel + nc + 4)
+    eq_rho_w_T[:n_relvel] = 100.0
+    eq_rho_w_T[n_relvel : n_relvel + nc] = 400.0
+    eq_rho_w_T[n_relvel + nc :] = 100.0
+
     # inequalities: friction cones (active!, isrbd:316-318)
     A_fc = jnp.asarray(
         linearized_friction_cone_rows(cfg.friction_cone_coefficient), dtype
@@ -302,6 +322,8 @@ def build_isrbd_problem(
         terminal_eq=terminal_eq,
         stage_ineq=stage_ineq,
         eq_scale=eq_scale,
+        eq_rho_weight=jnp.asarray(eq_rho_w, dtype),
+        eq_rho_weight_T=jnp.asarray(eq_rho_w_T, dtype),
         ineq_lb=ineq_lb,
         ineq_ub=ineq_ub,
         residual_x_rows=tuple(res_x_rows),

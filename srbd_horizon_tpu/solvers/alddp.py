@@ -125,6 +125,19 @@ class ALDDP:
         object.__setattr__(self, "_stage_eq", stage_eq)
         object.__setattr__(self, "_terminal_eq", terminal_eq)
 
+        # Per-row penalty stiffness ρ_j = ρ·w_j (OCP.eq_rho_weight): the
+        # AL term for row j is √(ρw_j)·h_j + λ_j/√(ρw_j) and the update
+        # λ_j ← λ_j + ρw_j·h_j. The violation measure stays in eq_scale
+        # units (w shapes the SCHEDULE, not the metric).
+        w_eq = (jnp.asarray(outer.eq_rho_weight)
+                if outer.eq_rho_weight is not None else None)
+        w_eq_T = (jnp.asarray(outer.eq_rho_weight_T)
+                  if outer.eq_rho_weight_T is not None else None)
+        object.__setattr__(self, "_w_eq", w_eq)
+        object.__setattr__(self, "_w_eq_T", w_eq_T)
+        sqw_eq = jnp.sqrt(w_eq) if w_eq is not None else None
+        sqw_eq_T = jnp.sqrt(w_eq_T) if w_eq_T is not None else None
+
         # normalized (∞-defaulted) bound arrays
         def _norm(b, shape, sign):
             if b is not None:
@@ -145,7 +158,8 @@ class ALDDP:
             h = stage_eq(x, u, p)
             rho = p["al_rho"][0]
             sr = jnp.sqrt(rho)
-            terms = [r, sr * h + p["al_lam_eq"] / sr]
+            srw = sr * sqw_eq if sqw_eq is not None else sr
+            terms = [r, srw * h + p["al_lam_eq"] / srw]
             if outer.ineq_ub is not None:
                 g = outer.stage_ineq(x, u, p)
                 t_ub, t_lb = _one_sided(
@@ -172,7 +186,8 @@ class ALDDP:
             hT = terminal_eq(x, p)
             rho = p["al_rho"][0]
             sr = jnp.sqrt(rho)
-            terms = [r, sr * hT + p["al_lam_eq_T"] / sr]
+            srw = sr * sqw_eq_T if sqw_eq_T is not None else sr
+            terms = [r, srw * hT + p["al_lam_eq_T"] / srw]
             if has_xb:
                 t_ub, t_lb = _one_sided(
                     x, p["al_x_lb"], p["al_x_ub"],
@@ -379,8 +394,10 @@ class ALDDP:
         """AL multiplier updates (rho may carry leading batch axes)."""
         r2 = rho[..., None] if jnp.ndim(rho) else rho
         r3 = r2[..., None] if jnp.ndim(rho) else rho
-        lam_eq = st.lam_eq + r3 * h
-        lam_eq_T = st.lam_eq_T + r2 * hT
+        w = self._w_eq if self._w_eq is not None else 1.0
+        w_T = self._w_eq_T if self._w_eq_T is not None else 1.0
+        lam_eq = st.lam_eq + r3 * w * h
+        lam_eq_T = st.lam_eq_T + r2 * w_T * hT
         if self.ocp.ineq_ub is not None:
             ub = jnp.where(jnp.isfinite(self.ocp.ineq_ub), self.ocp.ineq_ub, 0.0)
             lb = jnp.where(jnp.isfinite(self.ocp.ineq_lb), self.ocp.ineq_lb, 0.0)
@@ -497,10 +514,12 @@ class ALDDP:
         p_in = self._params_with_multipliers(params, st)
         sol = self._inner.solve(st.sol, x0, p_in)
         h, hT, g, viol = self._constraints(sol.X, sol.U, params)
+        w = self._w_eq if self._w_eq is not None else 1.0
+        w_T = self._w_eq_T if self._w_eq_T is not None else 1.0
         return st._replace(
             sol=sol,
-            lam_eq=st.lam_eq + st.rho * h,
-            lam_eq_T=st.lam_eq_T + st.rho * hT,
+            lam_eq=st.lam_eq + st.rho * w * h,
+            lam_eq_T=st.lam_eq_T + st.rho * w_T * hT,
             viol=viol,
         )
 
@@ -537,10 +556,12 @@ class ALDDP:
         sol = self._inner.solve_batch(st.sol, x0, p_in)
         h, hT, g, viol = jax.vmap(self._constraints)(sol.X, sol.U, params)
         r2 = st.rho[:, None]
+        w = self._w_eq if self._w_eq is not None else 1.0
+        w_T = self._w_eq_T if self._w_eq_T is not None else 1.0
         return st._replace(
             sol=sol,
-            lam_eq=st.lam_eq + r2[..., None] * h,
-            lam_eq_T=st.lam_eq_T + r2 * hT,
+            lam_eq=st.lam_eq + r2[..., None] * w * h,
+            lam_eq_T=st.lam_eq_T + r2 * w_T * hT,
             viol=viol,
         )
 

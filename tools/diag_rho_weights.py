@@ -36,8 +36,20 @@ def main(B=16, ticks=40):
     dtype = jnp.float32
     cfg = SRBDConfig(dtype=dtype)
     prob = build_isrbd_problem(cfg, kangaroo_line_feet())
+    # strip the builder's shipped eq_rho_weight (this tool emulates
+    # candidate weights via eq_scale bumps; stacking both would double-
+    # apply) — the shipped values came FROM this tool's grid
+    prob = dataclasses.replace(
+        prob,
+        ocp=dataclasses.replace(
+            prob.ocp, eq_rho_weight=None, eq_rho_weight_T=None
+        ),
+    )
     sc = np.asarray(prob.ocp.eq_scale).copy()
-    scT = np.asarray(prob.ocp.eq_scale_T).copy()
+    # isrbd's terminal eq stack is all-geometric (unit scale, no hand
+    # vector): relvel(4) + cz(4) + lipzone_z(1) + lipzone_w(3)
+    scT = (np.asarray(prob.ocp.eq_scale_T).copy()
+           if prob.ocp.eq_scale_T is not None else np.ones(12))
     names = (["relvel"] * 4 + ["cz"] * 4 + ["NElin"] * 3 + ["NEang"] * 3
              + ["LIP"] * 3 + ["lipzone_z"] + ["lipzone_w"] * 3)
     namesT = ["relvel"] * 4 + ["cz"] * 4 + ["lipzone_z"] + ["lipzone_w"] * 3
@@ -45,17 +57,19 @@ def main(B=16, ticks=40):
     for j, nm in enumerate(names):
         seg_rows.setdefault(nm, []).append(j)
 
-    # weight grids: sqrt-bump per segment (w = bump²)
+    # weight grids: sqrt-bump per segment (w = bump²). Round-4 findings:
+    # geo10/dyn3 → 5.2e-3 (from 2.1e-2); geo30+ destabilizes (multiplier
+    # windup: the 5-iteration inner solve cannot track ρ_eff ≫ K and the
+    # λ += ρ_eff·h update overshoots); dyn rows are f32-bounded anyway.
     grids = {
-        "A geo10":            dict(relvel=10, cz=10, lipzone_z=10, lipzone_w=10),
-        "B geo10 dyn3":       dict(relvel=10, cz=10, lipzone_z=10, lipzone_w=10,
+        "J cz20":             dict(relvel=10, cz=20, lipzone_z=10, lipzone_w=10,
                                    NElin=3, NEang=3, LIP=3),
-        "C geo30 dyn3":       dict(relvel=30, cz=30, lipzone_z=30, lipzone_w=30,
+        "K cz30":             dict(relvel=10, cz=30, lipzone_z=10, lipzone_w=10,
                                    NElin=3, NEang=3, LIP=3),
-        "D geo30 dyn10":      dict(relvel=30, cz=30, lipzone_z=30, lipzone_w=30,
-                                   NElin=10, NEang=10, LIP=10),
-        "E geo100 dyn3":      dict(relvel=100, cz=100, lipzone_z=100,
-                                   lipzone_w=100, NElin=3, NEang=3, LIP=3),
+        "L cz45":             dict(relvel=10, cz=45, lipzone_z=10, lipzone_w=10,
+                                   NElin=3, NEang=3, LIP=3),
+        "M cz30 geo14":       dict(relvel=14, cz=30, lipzone_z=14, lipzone_w=14,
+                                   NElin=3, NEang=3, LIP=3),
     }
 
     wpg = WalkingPatternGenerator.build(0.0, prob.ocp.ns, dtype=dtype)
