@@ -87,6 +87,21 @@ def build_isrbd_problem(
     inertia = jnp.asarray(robot.inertia, dtype)
     m = float(robot.mass)
 
+    # The hybrid stack couples the LIP pendulum height to the LIP-zone
+    # CoM-height pin (r_z = com_z): with the ZMP pivot on the ground
+    # plane, consistency needs η² = g / com_z, i.e. cfg.lip_height ≈ the
+    # robot's CoM height. A mismatch makes the z-rows structurally
+    # inconsistent by η²·|com_z − lip_height| m/s² — e.g. the quadruped
+    # (com_z 0.40) at the biped default (0.88) carries an irreducible
+    # ~5 m/s² conflict. Guard it at build time.
+    if abs(cfg.lip_height - float(com[2])) > 0.05:
+        raise ValueError(
+            f"cfg.lip_height={cfg.lip_height} inconsistent with the "
+            f"robot's CoM height {float(com[2]):.3f}: the LIP-zone "
+            f"constraints need SRBDConfig(lip_height=<CoM height>) "
+            f"(quadruped: lip_height=float(robot.com[2]))"
+        )
+
     # foot-pair indices fpi (isrbd_example.py:277-283)
     fpi = []
     for leg in range(cfg.number_of_legs):

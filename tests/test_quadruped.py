@@ -178,3 +178,86 @@ class TestQuadrupedBatchedPath:
         # topology (otherwise the test silently runs the dense path)
         assert prob.ocp.dynamics_x_rows is not None
         assert prob.ocp.residual_x_rows is not None
+
+
+class TestConstrainedTrot:
+    """The constrained (AL/isrbd) path on the second morphology (VERDICT
+    r3 item 4): friction cones, force boxes, hybrid SRBD/LIP schedule and
+    LIP-zone consistency on the quadruped topology (contact_model=1,
+    number_of_legs=4), end-to-end through the online trot. The LIP
+    pendulum height must match the quadruped's CoM height (the builder
+    guards the mismatch)."""
+
+    def _build(self, dtype=jnp.float32):
+        from srbd_horizon_tpu.models.quadruped import trot_group_mask
+        from srbd_horizon_tpu.problems.isrbd import build_isrbd_problem
+        from srbd_horizon_tpu.solvers.alddp import ALDDP
+        from srbd_horizon_tpu.solvers.options import al_serving_options
+
+        robot = quadruped_point_feet()
+        cfg = SRBDConfig(
+            contact_model=1, number_of_legs=4, dtype=dtype,
+            lip_height=float(robot.com[2]),
+        )
+        prob = build_isrbd_problem(cfg, robot)
+        ddp_off, al_off = al_serving_options(max_iters=15)
+        offline = ALDDP(prob.ocp, ddp_opts=ddp_off, al_opts=al_off)
+        ddp_on, al_on = al_serving_options(max_iters=5)
+        online = ALDDP(prob.ocp, ddp_opts=ddp_on, al_opts=al_on)
+        return cfg, prob, offline, online, trot_group_mask()
+
+    def test_lip_height_mismatch_guarded(self):
+        from srbd_horizon_tpu.problems.isrbd import build_isrbd_problem
+        import pytest
+
+        cfg = SRBDConfig(contact_model=1, number_of_legs=4,
+                         dtype=jnp.float32)  # biped default lip_height
+        with pytest.raises(ValueError, match="lip_height"):
+            build_isrbd_problem(cfg, quadruped_point_feet())
+
+    def test_constrained_trot_feasible(self):
+        from srbd_horizon_tpu.wpg import WalkingPatternGenerator
+
+        dtype = jnp.float32
+        cfg, prob, offline, online, mask = self._build(dtype)
+        x0 = prob.initial_state
+        U0 = jnp.tile(prob.static_input[None], (prob.ocp.ns, 1))
+        st = jax.jit(offline.solve)(
+            offline.init(x0, U0=U0), x0, prob.ocp.params
+        )
+        assert float(st.viol) < 1e-3, float(st.viol)
+        wpg = WalkingPatternGenerator.build(
+            0.0, prob.ocp.ns, contact_model=1, number_of_legs=4,
+            dtype=dtype, group_mask=mask,
+        )
+        params = dict(prob.ocp.params)
+        state = wpg.init_state()
+        tick = jax.jit(lambda st, x0, p: online.solve_online(
+            online.shift_warmstart(st), x0, p))
+        adv = jax.jit(wpg.advance)
+        viols = []
+        for _ in range(40):
+            params, state = adv(params, state, jnp.asarray(1, jnp.int32))
+            params["rdot_ref"] = params["rdot_ref"].at[1:].set(
+                jnp.array([0.15, 0.0, 0.0], dtype)
+            )
+            st = tick(st, st.sol.X[1], params)
+            viols.append(float(st.viol))
+        steady = np.asarray(viols[20:])
+        assert bool(jnp.all(jnp.isfinite(st.sol.X)))
+        # same violation envelope as the biped serving path (measured
+        # 1.7e-3..5.9e-3 over the trot cycle, spikes at the touchdown
+        # discontinuity of the reference's linspace-50 swing profile)
+        assert steady.max() < 1e-2, steady.max()
+        # the trot actually moves: CoM advanced over 40 ticks at 0.15 m/s
+        assert float(st.sol.X[0, 0] - prob.initial_state[0]) > 0.15
+        # cones respected on the plan
+        from srbd_horizon_tpu.problems.srbd import (
+            linearized_friction_cone_rows,
+        )
+        A = linearized_friction_cone_rows(cfg.friction_cone_coefficient)
+        d = online.solution_dict(st)
+        for i in range(4):
+            F = np.asarray(d[f"f{i}"])
+            assert (F @ A.T).max() < 2.0, i   # newtons (raw force rows)
+            assert F[:, 2].min() > -2.0

@@ -14,7 +14,15 @@ Checks per readback window (default every 100 ticks):
 Prints one JSON line with per-window p50/p99 wall times and the drift
 envelope over the whole run.
 
-Usage: python tools/soak.py [batch] [ticks] [--cpu]
+Usage: python tools/soak.py [batch] [ticks] [--cpu] [--constrained]
+
+`--constrained` soaks the AL fleet-serving path instead (the
+tools/bench_isrbd.py workload: shifted warm starts, one frozen-penalty
+outer per tick over the walking gait) with violation-window health
+gates: finite states, fleet max scaled violation below 2e-2 per window
+(steady state measured ~3.5e-3 mean with ~6e-3 gait-phase spikes —
+tests/test_isrbd.py::TestISRBDServingFeasibility), inner iterations
+healthy.
 """
 
 import json
@@ -27,6 +35,95 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+
+def main_constrained(batch=256, ticks=1000, window=100):
+    window = max(1, min(window, ticks))
+    from srbd_horizon_tpu.config import SRBDConfig
+    from srbd_horizon_tpu.models.kangaroo import kangaroo_line_feet
+    from srbd_horizon_tpu.problems.isrbd import build_isrbd_problem
+    from srbd_horizon_tpu.solvers.alddp import ALDDP
+    from srbd_horizon_tpu.solvers.options import al_serving_options
+    from srbd_horizon_tpu.wpg import WalkingPatternGenerator
+
+    dtype = jnp.float32
+    cfg = SRBDConfig(dtype=dtype)
+    prob = build_isrbd_problem(cfg, kangaroo_line_feet())
+    ddp_off, al_off = al_serving_options(max_iters=15)
+    offline = ALDDP(prob.ocp, ddp_opts=ddp_off, al_opts=al_off)
+    ddp_on, al_on = al_serving_options(max_iters=5)
+    online = ALDDP(prob.ocp, ddp_opts=ddp_on, al_opts=al_on)
+
+    B, ns = batch, prob.ocp.ns
+    x0 = jnp.tile(prob.initial_state[None], (B, 1))
+    x0 = x0 + 0.01 * jax.random.normal(jax.random.key(11), x0.shape, dtype)
+    U0 = jnp.tile(prob.static_input[None], (ns, 1))
+    params = jax.tree.map(
+        lambda a: jnp.tile(a[None], (B,) + (1,) * a.ndim), prob.ocp.params
+    )
+    st = jax.jit(offline.solve_batch)(
+        jax.vmap(lambda x: offline.init(x, U0=U0))(x0), x0, params
+    )
+    wpg = WalkingPatternGenerator.build(0.0, ns, dtype=dtype)
+
+    def tick(st, params, wpg_state, action, rdot_ref):
+        p1, w1 = jax.vmap(
+            lambda p, s, a: wpg.advance(p, s, a)
+        )(params, wpg_state, action)
+        p1["rdot_ref"] = p1["rdot_ref"].at[:, 1:].set(rdot_ref[:, None, :])
+        x0n = st.sol.X[:, 1]
+        st = jax.vmap(online.shift_warmstart)(st)
+        return online.solve_online_batch(st, x0n, p1), p1, w1
+
+    tick_j = jax.jit(tick, donate_argnums=(0, 1, 2))
+    wpg_state = jax.vmap(lambda _: wpg.init_state())(jnp.arange(B))
+    action = jnp.ones((B,), jnp.int32)
+    rdot_ref = jax.device_put(
+        jnp.tile(jnp.array([[0.1, 0.0, 0.0]], dtype), (B, 1))
+    )
+    st, params, wpg_state = tick_j(st, params, wpg_state, action, rdot_ref)
+    float(jnp.sum(st.viol))  # compile + drain
+
+    windows = []
+    viol_hi, ok = 0.0, True
+    t_start = time.perf_counter()
+    for w in range(ticks // window):
+        t0 = time.perf_counter()
+        for _ in range(window):
+            st, params, wpg_state = tick_j(
+                st, params, wpg_state, action, rdot_ref
+            )
+        viol = np.asarray(st.viol)   # host read = drain
+        dt_w = (time.perf_counter() - t0) / window
+        finite = bool(np.all(np.isfinite(np.asarray(st.sol.X))))
+        vmax = float(viol.max())
+        viol_hi = max(viol_hi, vmax)
+        iters = float(np.mean(np.asarray(st.sol.iterations)))
+        w_ok = finite and vmax < 2e-2 and iters >= 1.0
+        ok = ok and w_ok
+        windows.append(dt_w)
+        print(
+            f"window {w:3d}: {dt_w*1e3:7.2f} ms/tick  viol_max={vmax:.2e} "
+            f"iters={iters:.2f} {'ok' if w_ok else 'FAIL'}",
+            file=sys.stderr, flush=True,
+        )
+
+    wall = time.perf_counter() - t_start
+    wt = np.asarray(windows) * 1e3
+    print(json.dumps({
+        "metric": "constrained_soak_ticks",
+        "ticks": ticks,
+        "batch": B,
+        "solves": ticks * B,
+        "wall_s": round(wall, 1),
+        "solves_per_s": round(ticks * B / wall, 1),
+        "window_mean_tick_ms_p50": round(float(np.percentile(wt, 50)), 2),
+        "window_mean_tick_ms_p99": round(float(np.percentile(wt, 99)), 2),
+        "max_viol": viol_hi,
+        "ok": ok,
+        "device": str(jax.devices()[0]),
+    }))
+    return 0 if ok else 1
 
 
 def main(batch=512, ticks=1000, window=100):
@@ -116,9 +213,10 @@ def main(batch=512, ticks=1000, window=100):
 
 
 if __name__ == "__main__":
-    argv = [a for a in sys.argv[1:] if a != "--cpu"]
+    argv = [a for a in sys.argv[1:] if a not in ("--cpu", "--constrained")]
     if "--cpu" in sys.argv:
         jax.config.update("jax_platforms", "cpu")
-    b = int(argv[0]) if len(argv) > 0 else 512
+    constrained = "--constrained" in sys.argv
+    b = int(argv[0]) if len(argv) > 0 else (256 if constrained else 512)
     t = int(argv[1]) if len(argv) > 1 else 1000
-    sys.exit(main(b, t))
+    sys.exit(main_constrained(b, t) if constrained else main(b, t))
