@@ -108,3 +108,127 @@ class TestTranscriptions:
         cfg, prob = _lip()
         with pytest.raises(ValueError):
             TranscribedNLP(prob.ocp, transcription="hermite_simpson_7")
+
+
+def _srbd(ns=8):
+    from srbd_horizon_tpu.problems.srbd import build_srbd_problem
+
+    cfg = SRBDConfig(ns=ns, dtype=jnp.float64)
+    prob = build_srbd_problem(cfg, kangaroo_line_feet())
+    return cfg, prob
+
+
+class TestTranscriptionsSRBD:
+    """The transcription surface on the QUATERNION problem (VERDICT r3
+    item 5): the reference exercises multiple_shooting on SRBD
+    (prb.py:111-113); both transcriptions must solve it and the shooting
+    optimum must coincide with MS-DDP's."""
+
+    def _solve(self, prob, transcription, outer_iters=8):
+        nlp = TranscribedNLP(
+            prob.ocp,
+            transcription=transcription,
+            gn_opts=GNOptions(max_iters=40),
+            al_opts=ALOptions(outer_iters=outer_iters, rho0=1e3, tol=1e-8),
+        )
+        x0 = prob.initial_state
+        params = dict(prob.ocp.params)
+        params["rdot_ref"] = params["rdot_ref"].at[:, 0].set(0.1)
+        U0 = jnp.tile(prob.static_input[None], (prob.ocp.ns, 1))
+        st = jax.jit(nlp.solve)(nlp.init(x0, U0=U0), x0, params)
+        return nlp, st, params
+
+    def test_multiple_shooting_matches_msddp(self):
+        cfg, prob = _srbd()
+        nlp, st, params = self._solve(prob, "multiple_shooting")
+        assert float(st.viol) < 1e-4
+        X_nlp, _ = nlp.unpack(st.z)
+        # quaternion states stay healthy through the full-space solve
+        # (the reference treats o as 4 unconstrained states, prb.py)
+        qn = jnp.abs(jnp.linalg.norm(X_nlp[:, 3:7], axis=1) - 1.0)
+        assert float(qn.max()) < 1e-4
+
+        ddp = MSDDP(
+            prob.ocp,
+            DDPOptions(max_iters=100, alpha_converge_threshold=1e-12,
+                       beta=1e-3, cost_reduction_ths=1e-12),
+        )
+        sol = jax.jit(ddp.solve)(
+            ddp.init(prob.initial_state), prob.initial_state, params
+        )
+        np.testing.assert_allclose(
+            np.asarray(X_nlp), np.asarray(sol.X), atol=2e-3
+        )
+        np.testing.assert_allclose(
+            float(nlp.objective(st.z, params)), float(sol.cost), rtol=1e-3
+        )
+
+    def test_direct_collocation_equivalent_optimum(self):
+        cfg, prob = _srbd()
+        nlp_ms, st_ms, params = self._solve(prob, "multiple_shooting")
+        nlp_dc, st_dc, _ = self._solve(prob, "direct_collocation",
+                                       outer_iters=10)
+        assert float(st_dc.viol) < 1e-3
+        X_ms, _ = nlp_ms.unpack(st_ms.z)
+        X_dc, U_dc = nlp_dc.unpack(st_dc.z)
+        d = nlp_dc._defects(X_dc, U_dc, params)
+        assert float(jnp.max(jnp.abs(d))) < 1e-3
+        np.testing.assert_allclose(
+            np.asarray(X_dc), np.asarray(X_ms), atol=0.05
+        )
+        o_ms = float(nlp_ms.objective(st_ms.z, params))
+        o_dc = float(nlp_dc.objective(st_dc.z, params))
+        assert abs(o_dc - o_ms) / max(o_ms, 1.0) < 0.1, (o_ms, o_dc)
+
+
+class TestTranscriptionISRBD:
+    """Hardest problem through the NLP surface: the isrbd OCP — hard
+    hybrid SRBD/LIP dynamics constraints, ACTIVE friction cones, force
+    boxes — mirroring the reference's Transcriptor usage on its inline
+    NLP (isrbd_example.py:131-138)."""
+
+    def test_multiple_shooting_feasible_and_matches_alddp(self):
+        from srbd_horizon_tpu.problems.isrbd import build_isrbd_problem
+        from srbd_horizon_tpu.solvers.alddp import ALDDP
+
+        cfg = SRBDConfig(ns=8, dtype=jnp.float64)
+        prob = build_isrbd_problem(cfg, kangaroo_line_feet(),
+                                   srbd_nodes=4, lipzone_start=3)
+        x0 = prob.initial_state
+        U0 = jnp.tile(prob.static_input[None], (cfg.ns, 1))
+        params = dict(prob.ocp.params)
+        nlp = TranscribedNLP(
+            prob.ocp,
+            transcription="multiple_shooting",
+            gn_opts=GNOptions(max_iters=40),
+            al_opts=ALOptions(outer_iters=8, rho0=1e3, tol=1e-7),
+        )
+        st = jax.jit(nlp.solve)(nlp.init(x0, U0=U0), x0, params)
+        assert float(st.viol) < 1e-3, float(st.viol)
+        X, U = nlp.unpack(st.z)
+        assert bool(jnp.all(jnp.isfinite(X)))
+
+        # cones respected (active inequality path of the NLP solver)
+        from srbd_horizon_tpu.problems.srbd import (
+            linearized_friction_cone_rows,
+        )
+        A = linearized_friction_cone_rows(cfg.friction_cone_coefficient)
+        d = nlp.solution_dict(st)
+        for i in range(4):
+            F = np.asarray(d[f"f{i}"])
+            assert (F @ A.T).max() < 1.0, i
+            assert F[:, 2].min() > -1.0
+
+        # same OCP through the AL-DDP solver: equivalent solution
+        al = ALDDP(
+            prob.ocp,
+            ddp_opts=DDPOptions(
+                max_iters=20, alpha_converge_threshold=1e-12, beta=1e-3,
+                cost_reduction_ths=1e-10,
+            ),
+            al_opts=ALOptions(outer_iters=8, rho0=1e3, tol=1e-7),
+        )
+        st_al = jax.jit(al.solve)(al.init(x0, U0=U0), x0, params)
+        np.testing.assert_allclose(
+            np.asarray(X), np.asarray(st_al.sol.X), atol=5e-3
+        )
