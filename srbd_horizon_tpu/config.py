@@ -174,6 +174,15 @@ class DDPOptions:
     #                      (tools/bench_backward_variants.py, round 2).
     backward_unroll: int = 1
     backward_contract: str = "blocksparse"
+    # Two-node-fused Riccati chain (round-4 carry-chain experiment): scan
+    # over ns/2 steps, each processing two adjacent nodes back-to-back —
+    # halves the number of scan-carry round-trips for the (nx,nx,B) value
+    # function (22 MB at B=4096) at identical total FLOPs. Targets the
+    # value-carry serialization the round-3 roofline identified (backward
+    # at 34% of its chained-VPU ceiling). Result-equivalent up to f32
+    # rounding; requires even ns (falls back to the single-node scan
+    # otherwise). Default off pending the TPU A/B (tools/bench_opts.py).
+    backward_pair_nodes: bool = False
     # Opt-in fast paths (both measured SLOWER than the XLA-AD defaults on
     # TPU v5e-lite at B=1024, tools/bench_linearize_variants.py:
     # analytic −10%, pruning −3% — the solver is fusion/memory-movement

@@ -738,11 +738,36 @@ class MSDDP:
                 )
             xs = (A, Bm, Jx, Ju, rho, d)
 
-        (_, _, dV1, dV2), (ks, Ks) = jax.lax.scan(
-            node, (Vx_T, Vxx_T, zero, zero), xs,
-            reverse=True,
-            unroll=self.opts.backward_unroll,
-        )
+        ns_total = self.ocp.ns
+        if self.opts.backward_pair_nodes and ns_total % 2 == 0:
+            # two-node-fused chain (opts.backward_pair_nodes): one scan
+            # step advances the value function across TWO adjacent nodes
+            # — identical arithmetic, half the carry round-trips. In a
+            # reverse scan the step's pair is (node 2k, node 2k+1);
+            # process the HIGHER node first.
+            def node_pair(carry, inp):
+                inp_hi = jax.tree.map(lambda a: a[1], inp)
+                inp_lo = jax.tree.map(lambda a: a[0], inp)
+                carry, (k1, K1) = node(carry, inp_hi)
+                carry, (k0, K0) = node(carry, inp_lo)
+                return carry, (jnp.stack([k0, k1]), jnp.stack([K0, K1]))
+
+            xs_pairs = jax.tree.map(
+                lambda a: a.reshape((ns_total // 2, 2) + a.shape[1:]), xs
+            )
+            (_, _, dV1, dV2), (ks, Ks) = jax.lax.scan(
+                node_pair, (Vx_T, Vxx_T, zero, zero), xs_pairs,
+                reverse=True,
+                unroll=self.opts.backward_unroll,
+            )
+            ks = ks.reshape((ns_total,) + ks.shape[2:])
+            Ks = Ks.reshape((ns_total,) + Ks.shape[2:])
+        else:
+            (_, _, dV1, dV2), (ks, Ks) = jax.lax.scan(
+                node, (Vx_T, Vxx_T, zero, zero), xs,
+                reverse=True,
+                unroll=self.opts.backward_unroll,
+            )
         # back to batch-first
         return (
             jnp.moveaxis(ks, -1, 0),             # (B, ns, nu)

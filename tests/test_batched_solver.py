@@ -449,3 +449,51 @@ class TestDynamicsColumnSparsity:
                 np.asarray(got.iterations), np.asarray(ref.iterations),
                 err_msg=str(overrides),
             )
+
+
+class TestPairNodesBackward:
+    """opts.backward_pair_nodes (round-4 carry-chain experiment): the
+    two-node-fused Riccati scan is the same arithmetic regrouped, so the
+    batched solve must match the single-node scan to rounding (XLA fuses
+    the paired bodies differently — not bit-identical; line-search
+    decisions can flip at rounding level, so iterations may differ by
+    ±1 while converged solutions coincide)."""
+
+    def test_matches_single_node_scan(self):
+        import dataclasses
+
+        ocp = _atan_ocp(ns=6)
+        opts = DDPOptions(max_iters=20, alpha_converge_threshold=1e-12,
+                          beta=1e-3)
+        base = MSDDP(ocp, opts)
+        pair = MSDDP(ocp, dataclasses.replace(opts, backward_pair_nodes=True))
+        x0 = jnp.array([[0.05], [0.4], [2.0], [-0.8]])
+        params = jax.tree.map(
+            lambda a: jnp.tile(a[None], (4,) + (1,) * a.ndim), ocp.params
+        )
+        sols = jax.vmap(base.init)(x0)
+        r1 = jax.jit(base.solve_batch)(sols, x0, params)
+        r2 = jax.jit(pair.solve_batch)(sols, x0, params)
+        np.testing.assert_allclose(
+            np.asarray(r2.X), np.asarray(r1.X), rtol=1e-8, atol=1e-10
+        )
+        np.testing.assert_array_equal(
+            np.asarray(r2.converged), np.asarray(r1.converged)
+        )
+
+    def test_odd_ns_falls_back(self):
+        import dataclasses
+
+        ocp = _atan_ocp(ns=5)
+        pair = MSDDP(
+            ocp,
+            dataclasses.replace(DDPOptions(max_iters=10),
+                                backward_pair_nodes=True),
+        )
+        x0 = jnp.array([[0.3], [1.0]])
+        params = jax.tree.map(
+            lambda a: jnp.tile(a[None], (2,) + (1,) * a.ndim), ocp.params
+        )
+        sols = jax.vmap(pair.init)(x0)
+        out = jax.jit(pair.solve_batch)(sols, x0, params)
+        assert bool(jnp.all(jnp.isfinite(out.X)))
