@@ -181,7 +181,12 @@ class DDPOptions:
     # value-carry serialization the round-3 roofline identified (backward
     # at 34% of its chained-VPU ceiling). Result-equivalent up to f32
     # rounding; requires even ns (falls back to the single-node scan
-    # otherwise). Default off pending the TPU A/B (tools/bench_opts.py).
+    # otherwise). MEASURED AND REJECTED on TPU v5e-lite (B=4096
+    # heterogeneous fleet, tools/bench_opts.py: 15901 → 13812 solve/s,
+    # −13%): the carry is not round-trip bound — XLA keeps it resident
+    # across scan steps — and the doubled step body costs more in live
+    # ranges/pipelining than the saved traffic. Kept as a validated
+    # default-off knob with the BENCH_NOTES.md record.
     backward_pair_nodes: bool = False
     # Opt-in fast paths (both measured SLOWER than the XLA-AD defaults on
     # TPU v5e-lite at B=1024, tools/bench_linearize_variants.py:

@@ -44,7 +44,8 @@ import jax.numpy as jnp
 
 def measure(batch: int = 1024, n_ticks: int = 30, dense: bool = False,
             no_ucols: bool = False, sync: bool = False,
-            chunk: int = 0, shift: bool = False) -> dict:
+            chunk: int = 0, shift: bool = False,
+            online_iters: int = 5) -> dict:
     """Run the constrained fleet benchmark; returns the result dict
     (importable — bench.py embeds this as its `constrained` field)."""
     from srbd_horizon_tpu.config import SRBDConfig
@@ -80,7 +81,7 @@ def measure(batch: int = 1024, n_ticks: int = 30, dense: bool = False,
     offline = ALDDP(prob.ocp, ddp_opts=ddp_off, al_opts=al_off)
     # online budget: 5 inner iterations (the reference's online
     # max_iteration cap, launch:20), one frozen-penalty outer per tick
-    ddp_on, al_on = al_serving_options(max_iters=5)
+    ddp_on, al_on = al_serving_options(max_iters=online_iters)
     online = ALDDP(prob.ocp, ddp_opts=ddp_on, al_opts=al_on)
 
     B = batch
@@ -156,6 +157,7 @@ def measure(batch: int = 1024, n_ticks: int = 30, dense: bool = False,
         "inner": "dense" if dense else ("sparse_no_ucols" if no_ucols else "sparse"),
         "chunk": chunk,
         "shift_warmstart": shift,
+        "online_iters": online_iters,
     }
     if sync:
         import numpy as np
@@ -172,9 +174,14 @@ def measure(batch: int = 1024, n_ticks: int = 30, dense: bool = False,
 def main():
     argv = sys.argv[1:]
     chunk = 0
+    online_iters = 5
     if "--chunk" in argv:
         i = argv.index("--chunk")
         chunk = int(argv[i + 1])
+        argv = argv[:i] + argv[i + 2:]
+    if "--iters" in argv:
+        i = argv.index("--iters")
+        online_iters = int(argv[i + 1])
         argv = argv[:i] + argv[i + 2:]
     flags = ("--dense", "--no-ucols", "--sync", "--shift")
     args = [a for a in argv if a not in flags]
@@ -186,7 +193,7 @@ def main():
     n_ticks = int(args[1]) if len(args) > 1 else 30
     print(json.dumps(measure(
         batch, n_ticks, dense=dense, no_ucols=no_ucols, sync=sync,
-        chunk=chunk, shift=shift)))
+        chunk=chunk, shift=shift, online_iters=online_iters)))
 
 
 if __name__ == "__main__":
