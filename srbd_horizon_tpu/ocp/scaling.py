@@ -61,14 +61,41 @@ def eq_row_gradient_norms(ocp: OCP, x0, u0=None, params=None):
     return rn, rn_T
 
 
+def eq_row_u_gradient_norms(ocp: OCP, x0, u0=None, params=None):
+    """Per-stage-row ∞-norms of ∂h/∂u alone, maxed over nodes — the
+    state-only-row detector: a row with zero u-gradient at every node
+    never enters Quu and can carry a much stiffer AL penalty (see
+    OCP.eq_rho_weight)."""
+    params = ocp.params if params is None else params
+    x0 = jnp.asarray(x0)
+    u0 = jnp.zeros((ocp.nu,), x0.dtype) if u0 is None else jnp.asarray(u0)
+
+    def stage_norms(p):
+        Ju = jax.jacfwd(lambda u: ocp.stage_eq(x0, u, p))(u0)
+        return jnp.max(jnp.abs(Ju), axis=1)
+
+    p_stage = {k: v[: ocp.ns] for k, v in params.items()}
+    return jnp.max(jax.vmap(stage_norms)(p_stage), axis=0)
+
+
 def auto_eq_scale(
-    ocp: OCP, x0, u0=None, params=None, target: float = 1.0
+    ocp: OCP, x0, u0=None, params=None, target: float = 1.0,
+    state_row_stiffness: float = 0.0,
 ) -> OCP:
     """Return the OCP with `eq_scale`/`eq_scale_T` derived by Jacobi row
     equilibration at (x0, u0) — see the module docstring. `target` is
     the gradient ∞-norm every row is scaled down to (IPOPT's `100` is an
     interior-point artifact; 1.0 puts all rows in O(1) comparable units,
-    matching the shipped hand scales). No-op rows keep scale 1."""
+    matching the shipped hand scales). No-op rows keep scale 1.
+
+    `state_row_stiffness` > 0 additionally derives `eq_rho_weight`:
+    stage rows whose u-gradient is identically zero at the nominal point
+    (state-only rows — their AL penalty bypasses Quu, see
+    OCP.eq_rho_weight) and every terminal row (terminal nodes have no
+    input) get that penalty-stiffness multiplier; input-touching rows
+    keep 1. The shipped isrbd problem uses 100-400 on its state-only
+    rows; 100 is a safe automatic choice (the windup ceiling measured
+    ~900)."""
     if ocp.stage_eq(
         jnp.zeros(ocp.nx), jnp.zeros(ocp.nu),
         {k: v[0] for k, v in ocp.params.items()},
@@ -81,6 +108,14 @@ def auto_eq_scale(
     def scales(r):
         return jnp.where(r > target, target / r, 1.0)
 
-    return dataclasses.replace(
+    out = dataclasses.replace(
         ocp, eq_scale=scales(rn), eq_scale_T=scales(rn_T)
     )
+    if state_row_stiffness > 0.0:
+        run = eq_row_u_gradient_norms(ocp, x0, u0, params)
+        w = jnp.where(run == 0.0, state_row_stiffness, 1.0)
+        w_T = jnp.full(rn_T.shape, state_row_stiffness, rn_T.dtype)
+        out = dataclasses.replace(
+            out, eq_rho_weight=w, eq_rho_weight_T=w_T
+        )
+    return out

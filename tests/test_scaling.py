@@ -165,3 +165,47 @@ class TestCustomProblemAutoScale:
         np.testing.assert_allclose(
             np.asarray(st.sol.X[6:ns, 0]), 1.0, atol=1e-3
         )
+
+
+class TestAutoStiffness:
+    """auto_eq_scale(state_row_stiffness=...): state-only rows (zero
+    u-gradient — their AL penalty bypasses Quu) get the stiffness
+    multiplier automatically; input-touching rows keep 1."""
+
+    def test_isrbd_state_rows_detected(self):
+        cfg = SRBDConfig(dtype=jnp.float64)
+        prob = build_isrbd_problem(cfg, kangaroo_line_feet())
+        ocp = auto_eq_scale(
+            prob.ocp, prob.initial_state, prob.static_input,
+            state_row_stiffness=100.0,
+        )
+        w = np.asarray(ocp.eq_rho_weight)
+        # geometric rows (relvel 0:4, cz 4:8, lipzone 17:21) are
+        # state-only; NE/LIP dynamics rows (8:17) touch inputs
+        np.testing.assert_array_equal(w[0:8], 100.0)
+        np.testing.assert_array_equal(w[8:17], 1.0)
+        np.testing.assert_array_equal(w[17:21], 100.0)
+        np.testing.assert_array_equal(np.asarray(ocp.eq_rho_weight_T), 100.0)
+
+    def test_custom_problem_stiffened_solve(self):
+        """The mixed-unit hover problem with automatic scaling AND
+        stiffness: the meters station-keeping row (state-only) is driven
+        harder and lands tighter than with scaling alone."""
+        ocp = _mixed_unit_ocp()
+        x0 = jnp.array([0.8, 0.0], jnp.float32)
+        plain = auto_eq_scale(ocp, x0)
+        stiff = auto_eq_scale(ocp, x0, state_row_stiffness=100.0)
+        w = np.asarray(stiff.eq_rho_weight)
+        np.testing.assert_array_equal(w, [1.0, 100.0])  # force row, z row
+        ns = ocp.ns
+
+        def solve(o):
+            solver = _al(o, outer_iters=8)
+            st = jax.jit(solver.solve)(solver.init(x0), x0, o.params)
+            ps = {k: v[:ns] for k, v in o.params.items()}
+            h = jax.vmap(o.stage_eq)(st.sol.X[:ns], st.sol.U, ps)
+            return float(jnp.max(jnp.abs(h[6:, 1])))
+
+        v_plain, v_stiff = solve(plain), solve(stiff)
+        assert v_stiff < 1e-3
+        assert v_stiff <= v_plain * 1.5, (v_plain, v_stiff)
