@@ -45,7 +45,7 @@ import jax.numpy as jnp
 def measure(batch: int = 1024, n_ticks: int = 30, dense: bool = False,
             no_ucols: bool = False, sync: bool = False,
             chunk: int = 0, shift: bool = False,
-            online_iters: int = 5) -> dict:
+            online_iters: int = 5, outers: int = 1) -> dict:
     """Run the constrained fleet benchmark; returns the result dict
     (importable — bench.py embeds this as its `constrained` field)."""
     from srbd_horizon_tpu.config import SRBDConfig
@@ -112,8 +112,14 @@ def measure(batch: int = 1024, n_ticks: int = 30, dense: bool = False,
             # roll trajectory + multipliers one node forward, aligning
             # the warm start with the shifted schedule (--shift A/B)
             st = jax.vmap(online.shift_warmstart)(st)
-        st1 = online.solve_online_batch(st, x0, p1)
-        return st1, p1, w1
+        # --outers N: N frozen-penalty outer iterations per tick (each =
+        # inner solve + multiplier update). Two cheap outers beat one
+        # deep one on the touchdown-transient spikes: the second
+        # λ-update re-centers the stale multiplier at the schedule
+        # discontinuity (CPU A/B: 1×2 → max 6.0e-3; 2×1 → 1.91e-3).
+        for _ in range(outers):
+            st = online.solve_online_batch(st, x0, p1)
+        return st, p1, w1
 
     if chunk:
         from srbd_horizon_tpu.runtime.chunked import chunk_map
@@ -158,6 +164,7 @@ def measure(batch: int = 1024, n_ticks: int = 30, dense: bool = False,
         "chunk": chunk,
         "shift_warmstart": shift,
         "online_iters": online_iters,
+        "outers": outers,
     }
     if sync:
         import numpy as np
@@ -183,6 +190,11 @@ def main():
         i = argv.index("--iters")
         online_iters = int(argv[i + 1])
         argv = argv[:i] + argv[i + 2:]
+    outers = 1
+    if "--outers" in argv:
+        i = argv.index("--outers")
+        outers = int(argv[i + 1])
+        argv = argv[:i] + argv[i + 2:]
     flags = ("--dense", "--no-ucols", "--sync", "--shift")
     args = [a for a in argv if a not in flags]
     dense = "--dense" in argv
@@ -193,7 +205,8 @@ def main():
     n_ticks = int(args[1]) if len(args) > 1 else 30
     print(json.dumps(measure(
         batch, n_ticks, dense=dense, no_ucols=no_ucols, sync=sync,
-        chunk=chunk, shift=shift, online_iters=online_iters)))
+        chunk=chunk, shift=shift, online_iters=online_iters,
+        outers=outers)))
 
 
 if __name__ == "__main__":

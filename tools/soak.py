@@ -19,10 +19,9 @@ Usage: python tools/soak.py [batch] [ticks] [--cpu] [--constrained]
 `--constrained` soaks the AL fleet-serving path instead (the
 tools/bench_isrbd.py workload: shifted warm starts, one frozen-penalty
 outer per tick over the walking gait) with violation-window health
-gates: finite states, fleet max scaled violation below 2e-2 per window
-(steady state measured ~3.5e-3 mean with ~6e-3 gait-phase spikes —
-tests/test_isrbd.py::TestISRBDServingFeasibility), inner iterations
-healthy.
+gates: finite states, fleet max scaled violation below 5e-3 per window
+(the 2-outer serving config holds ≤1e-3 steady with margin —
+BENCH_NOTES.md round 4), inner iterations healthy.
 """
 
 import json
@@ -37,7 +36,8 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def main_constrained(batch=256, ticks=1000, window=100):
+def main_constrained(batch=256, ticks=1000, window=100,
+                     online_iters=1, outers=2):
     window = max(1, min(window, ticks))
     from srbd_horizon_tpu.config import SRBDConfig
     from srbd_horizon_tpu.models.kangaroo import kangaroo_line_feet
@@ -51,7 +51,7 @@ def main_constrained(batch=256, ticks=1000, window=100):
     prob = build_isrbd_problem(cfg, kangaroo_line_feet())
     ddp_off, al_off = al_serving_options(max_iters=15)
     offline = ALDDP(prob.ocp, ddp_opts=ddp_off, al_opts=al_off)
-    ddp_on, al_on = al_serving_options(max_iters=5)
+    ddp_on, al_on = al_serving_options(max_iters=online_iters)
     online = ALDDP(prob.ocp, ddp_opts=ddp_on, al_opts=al_on)
 
     B, ns = batch, prob.ocp.ns
@@ -73,7 +73,12 @@ def main_constrained(batch=256, ticks=1000, window=100):
         p1["rdot_ref"] = p1["rdot_ref"].at[:, 1:].set(rdot_ref[:, None, :])
         x0n = st.sol.X[:, 1]
         st = jax.vmap(online.shift_warmstart)(st)
-        return online.solve_online_batch(st, x0n, p1), p1, w1
+        # serving config: `outers` frozen-penalty outer iterations per
+        # tick — the second multiplier update re-centers the stale λ at
+        # the touchdown schedule discontinuity (BENCH_NOTES.md round 4)
+        for _ in range(outers):
+            st = online.solve_online_batch(st, x0n, p1)
+        return st, p1, w1
 
     tick_j = jax.jit(tick, donate_argnums=(0, 1, 2))
     wpg_state = jax.vmap(lambda _: wpg.init_state())(jnp.arange(B))
@@ -99,7 +104,7 @@ def main_constrained(batch=256, ticks=1000, window=100):
         vmax = float(viol.max())
         viol_hi = max(viol_hi, vmax)
         iters = float(np.mean(np.asarray(st.sol.iterations)))
-        w_ok = finite and vmax < 2e-2 and iters >= 1.0
+        w_ok = finite and vmax < 5e-3 and iters >= 1.0
         ok = ok and w_ok
         windows.append(dt_w)
         print(
