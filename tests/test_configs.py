@@ -82,3 +82,44 @@ class TestF32Quality:
             np.testing.assert_allclose(
                 np.asarray(d[f"c{i}"][:, 2]), 0.0, atol=5e-3
             )
+
+
+class TestLineFeetQuadruped:
+    def test_srbd_cm2_legs4_solve(self):
+        """The other nc=8 corner: contact_model=2 × number_of_legs=4
+        (line-feet QUADRUPED — the topology product the reference
+        provisions via its 8 wrench displays, SRBD_horizon.rviz:156-261,
+        but never instantiates)."""
+        import dataclasses
+
+        from srbd_horizon_tpu.models.quadruped import quadruped_point_feet
+
+        q = quadruped_point_feet()
+        pts = []
+        for p in np.asarray(q.foot_positions):
+            pts.append(p + np.array([0.05, 0.0, 0.0]))
+            pts.append(p - np.array([0.05, 0.0, 0.0]))
+        robot8 = dataclasses.replace(
+            q, foot_positions=np.asarray(pts),
+            foot_frames=tuple(f"c{i}" for i in range(8)),
+        )
+        cfg = SRBDConfig(contact_model=2, number_of_legs=4,
+                         dtype=jnp.float64)
+        assert cfg.nc == 8
+        prob = build_srbd_problem(cfg, robot8)
+        assert prob.ocp.nx == 61 and prob.ocp.nu == 48
+        solver = MSDDP(
+            prob.ocp,
+            DDPOptions(max_iters=20, alpha_converge_threshold=1e-12,
+                       beta=1e-3),
+        )
+        x0 = prob.initial_state
+        sol = jax.jit(solver.solve)(solver.init(x0), x0, prob.ocp.params)
+        assert bool(sol.converged)
+        assert float(sol.defect_norm) < 1e-6
+        # standing: total vertical force carries the weight
+        d = solver.solution_dict(sol)
+        fz = sum(np.asarray(d[f"f{i}"])[:, 2].mean() for i in range(8))
+        np.testing.assert_allclose(
+            fz, prob.mass * 9.81 / prob.force_scaling, rtol=0.01
+        )
