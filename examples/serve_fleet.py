@@ -41,6 +41,10 @@ def main():
     ap.add_argument("--f64", action="store_true")
     ap.add_argument("--selftest", action="store_true",
                     help="spawn in-process simulated robot clients")
+    ap.add_argument("--constrained", action="store_true",
+                    help="serve the full-NLP (AL/isrbd) path: active "
+                         "friction cones, force boxes, hybrid dynamics — "
+                         "the round-4 2-outer RTI serving tick")
     args = ap.parse_args()
     port = args.port or 41000 + (pathlib.os.getpid() % 10000)
 
@@ -72,26 +76,76 @@ def main():
 
     dtype = jnp.float64 if args.f64 else jnp.float32
     cfg = SRBDConfig(dtype=dtype)
-    prob = build_srbd_problem(cfg, kangaroo_line_feet())
-    solver = MSDDP(
-        prob.ocp,
-        DDPOptions(max_iters=5, alpha_converge_threshold=1e-12, beta=1e-3),
-    )
-    wpg = WalkingPatternGenerator.build(0.0, cfg.ns, dtype=dtype)
-    loop = MPCLoop(solver=solver, wpg=wpg, srbd_constants=prob.ocp.constants,
-                   shift_warmstart=True)
-    monitor = HealthMonitor()
-
     B = args.robots
-    x0 = jnp.tile(prob.initial_state[None], (B, 1))
-    carries = jax.vmap(loop.init)(x0)
 
-    @jax.jit
-    def vtick(carry, inp):
-        # tick + failure detection + in-place recovery, one jit
-        return monitor.monitored_tick_batch(
-            loop, carry, inp, x_safe=prob.initial_state
+    if args.constrained:
+        # Full-NLP serving (the isrbd workload): offline AL seed once,
+        # then per tick: WPG advance from router commands + shifted warm
+        # start + TWO single-inner-iteration monitored outer updates
+        # (the round-4 RTI serving config, BENCH_NOTES.md) with failure
+        # detection/recovery on the final state.
+        from srbd_horizon_tpu.problems.isrbd import build_isrbd_problem
+        from srbd_horizon_tpu.solvers.alddp import ALDDP
+        from srbd_horizon_tpu.solvers.options import al_serving_options
+
+        prob = build_isrbd_problem(cfg, kangaroo_line_feet())
+        ddp_off, al_off = al_serving_options(max_iters=15)
+        offline = ALDDP(prob.ocp, ddp_opts=ddp_off, al_opts=al_off)
+        ddp_on, al_on = al_serving_options(max_iters=1)
+        online = ALDDP(prob.ocp, ddp_opts=ddp_on, al_opts=al_on)
+        monitor = HealthMonitor()
+        wpg = WalkingPatternGenerator.build(0.0, cfg.ns, dtype=dtype)
+
+        x0 = jnp.tile(prob.initial_state[None], (B, 1))
+        U0 = jnp.tile(prob.static_input[None], (prob.ocp.ns, 1))
+        params = jax.tree.map(
+            lambda a: jnp.tile(a[None], (B,) + (1,) * a.ndim),
+            prob.ocp.params,
         )
+        print("seeding constrained fleet (offline AL solve)...", flush=True)
+        al_state = jax.jit(offline.solve_batch)(
+            jax.vmap(lambda x: offline.init(x, U0=U0))(x0), x0, params
+        )
+        wpg_state = jax.vmap(lambda _: wpg.init_state())(jnp.arange(B))
+
+        @jax.jit
+        def ctick(st, params, wpg_state, inp):
+            p1, w1 = jax.vmap(
+                lambda p, s, a: wpg.advance(p, s, a)
+            )(params, wpg_state, inp.action)
+            p1["rdot_ref"] = p1["rdot_ref"].at[:, 1:].set(
+                inp.rdot_ref[:, None, :]
+            )
+            x0n = st.sol.X[:, 1]
+            st = jax.vmap(online.shift_warmstart)(st)
+            st = online.solve_online_batch(st, x0n, p1)
+            st, report = monitor.monitored_constrained_tick(
+                online, st, x0n, p1,
+                x_safe=prob.initial_state, u_safe=prob.static_input,
+            )
+            return st, p1, w1, report
+    else:
+        prob = build_srbd_problem(cfg, kangaroo_line_feet())
+        solver = MSDDP(
+            prob.ocp,
+            DDPOptions(max_iters=5, alpha_converge_threshold=1e-12,
+                       beta=1e-3),
+        )
+        wpg = WalkingPatternGenerator.build(0.0, cfg.ns, dtype=dtype)
+        loop = MPCLoop(solver=solver, wpg=wpg,
+                       srbd_constants=prob.ocp.constants,
+                       shift_warmstart=True)
+        monitor = HealthMonitor()
+
+        x0 = jnp.tile(prob.initial_state[None], (B, 1))
+        carries = jax.vmap(loop.init)(x0)
+
+        @jax.jit
+        def vtick(carry, inp):
+            # tick + failure detection + in-place recovery, one jit
+            return monitor.monitored_tick_batch(
+                loop, carry, inp, x_safe=prob.initial_state
+            )
 
     router = FleetRouter(port, B)
     print(f"serving {B} robots on udp:{port} at {args.hz} Hz", flush=True)
@@ -127,21 +181,35 @@ def main():
                 rdot_ref=jnp.asarray(rdot, dtype),
                 w_ref=jnp.zeros((B, 3), dtype),
             )
-            carries, out, report = vtick(carries, inp)
-            n_reset = B - int(np.sum(np.asarray(report.healthy)))
-            x = np.asarray(out.x)
-            rows = np.zeros((B, 6), np.float32)
-            rows[:, 0:3] = x[:, 0:3]
-            rows[:, 3] = np.asarray(out.cost)
-            rows[:, 4] = np.asarray(out.iterations)
-            rows[:, 5] = np.asarray(out.converged)
+            if args.constrained:
+                al_state, params, wpg_state, report = ctick(
+                    al_state, params, wpg_state, inp
+                )
+                n_reset = B - int(np.sum(np.asarray(report.healthy)))
+                x = np.asarray(al_state.sol.X[:, 1])  # node-1 plan state
+                rows = np.zeros((B, 6), np.float32)
+                rows[:, 0:3] = x[:, 0:3]
+                rows[:, 3] = np.asarray(al_state.viol)
+                rows[:, 4] = np.asarray(al_state.sol.iterations)
+                rows[:, 5] = np.asarray(al_state.sol.converged)
+            else:
+                carries, out, report = vtick(carries, inp)
+                n_reset = B - int(np.sum(np.asarray(report.healthy)))
+                x = np.asarray(out.x)
+                rows = np.zeros((B, 6), np.float32)
+                rows[:, 0:3] = x[:, 0:3]
+                rows[:, 3] = np.asarray(out.cost)
+                rows[:, 4] = np.asarray(out.iterations)
+                rows[:, 5] = np.asarray(out.converged)
             router.send_results(rows)
             dt = time.perf_counter() - t0
             if dt > period:
                 deadline_misses += 1
             if t % 20 == 0:
+                lbl = "viol_max" if args.constrained else "cost_mean"
+                val = rows[:, 3].max() if args.constrained else rows[:, 3].mean()
                 print(f"tick {t:4d}: {dt*1e3:6.1f} ms  robots_heard={seen} "
-                      f"resets={n_reset} cost_mean={rows[:,3].mean():.1f}",
+                      f"resets={n_reset} {lbl}={val:.4g}",
                       flush=True)
             time.sleep(max(0.0, period - dt))
     finally:

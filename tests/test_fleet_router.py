@@ -131,3 +131,20 @@ class TestServeFleetE2E:
         )
         assert out.returncode == 0, out.stdout + out.stderr
         assert "selftest: 4/4 robots received results -> ok" in out.stdout
+
+    def test_selftest_daemon_constrained(self):
+        """The --constrained daemon (offline AL seed + 2-outer RTI
+        serving tick + constrained health gate + router) serves every
+        robot a result row with a bounded violation column."""
+        env = dict(os.environ)
+        env.pop("JAX_PLATFORMS", None)
+        out = subprocess.run(
+            [sys.executable, "examples/serve_fleet.py", "--cpu",
+             "--robots", "4", "--ticks", "8", "--hz", "50",
+             "--selftest", "--constrained", "--port", str(_port(4))],
+            capture_output=True, text=True, timeout=900,
+            cwd=Path(__file__).resolve().parents[1], env=env,
+        )
+        assert out.returncode == 0, out.stdout + out.stderr
+        assert "selftest: 4/4 robots received results -> ok" in out.stdout
+        assert "resets=0" in out.stdout
