@@ -117,8 +117,7 @@ def main():
                 inp.rdot_ref[:, None, :]
             )
             x0n = st.sol.X[:, 1]
-            st = jax.vmap(online.shift_warmstart)(st)
-            st = online.solve_online_batch(st, x0n, p1)
+            st = online.serving_tick_batch(st, x0n, p1, outers=1)
             st, report = monitor.monitored_constrained_tick(
                 online, st, x0n, p1,
                 x_safe=prob.initial_state, u_safe=prob.static_input,

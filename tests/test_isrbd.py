@@ -398,3 +398,40 @@ class TestISRBDServingFeasibility:
         assert np.asarray(trace[-5:]).max() < 5e-3, trace
         # the push actually disturbed the fleet (the test is not vacuous)
         assert viol_pushed > np.asarray(trace[-5:]).max()
+
+    def test_serving_tick_batch_matches_handrolled(self):
+        """ALDDP.serving_tick_batch (the packaged round-4 serving tick)
+        must equal the hand-rolled shift + N×solve_online_batch
+        sequence exactly."""
+        from srbd_horizon_tpu.solvers.options import al_serving_options
+
+        dtype = jnp.float32
+        cfg = SRBDConfig(dtype=dtype)
+        prob = build_isrbd_problem(cfg, kangaroo_line_feet())
+        ddp_on, al_on = al_serving_options(max_iters=1)
+        online = ALDDP(prob.ocp, ddp_opts=ddp_on, al_opts=al_on)
+        B, ns = 4, prob.ocp.ns
+        x0 = jnp.tile(prob.initial_state[None], (B, 1))
+        x0 = x0 + 0.01 * jax.random.normal(jax.random.key(5), x0.shape, dtype)
+        U0 = jnp.tile(prob.static_input[None], (ns, 1))
+        params = jax.tree.map(
+            lambda a: jnp.tile(a[None], (B,) + (1,) * a.ndim),
+            prob.ocp.params,
+        )
+        st0 = jax.vmap(lambda x: online.init(x, U0=U0))(x0)
+
+        got = jax.jit(online.serving_tick_batch)(st0, x0, params)
+
+        def handrolled(st, x0, params):
+            st = jax.vmap(online.shift_warmstart)(st)
+            st = online.solve_online_batch(st, x0, params)
+            return online.solve_online_batch(st, x0, params)
+
+        ref = jax.jit(handrolled)(st0, x0, params)
+        # both sides jitted whole: same trace, same fusion — exact
+        np.testing.assert_array_equal(np.asarray(got.sol.X),
+                                      np.asarray(ref.sol.X))
+        np.testing.assert_array_equal(np.asarray(got.lam_eq),
+                                      np.asarray(ref.lam_eq))
+        np.testing.assert_array_equal(np.asarray(got.viol),
+                                      np.asarray(ref.viol))

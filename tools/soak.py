@@ -72,12 +72,7 @@ def main_constrained(batch=256, ticks=1000, window=100,
         )(params, wpg_state, action)
         p1["rdot_ref"] = p1["rdot_ref"].at[:, 1:].set(rdot_ref[:, None, :])
         x0n = st.sol.X[:, 1]
-        st = jax.vmap(online.shift_warmstart)(st)
-        # serving config: `outers` frozen-penalty outer iterations per
-        # tick — the second multiplier update re-centers the stale λ at
-        # the touchdown schedule discontinuity (BENCH_NOTES.md round 4)
-        for _ in range(outers):
-            st = online.solve_online_batch(st, x0n, p1)
+        st = online.serving_tick_batch(st, x0n, p1, outers=outers)
         return st, p1, w1
 
     tick_j = jax.jit(tick, donate_argnums=(0, 1, 2))
