@@ -172,6 +172,35 @@ def sharded_constrained_tick(alddp, mesh: Mesh, axis: str = SCENARIO_AXIS):
     return jax.jit(_tick_shard)
 
 
+def sharded_serving_tick(alddp, mesh: Mesh, outers: int = 2,
+                         axis: str = SCENARIO_AXIS):
+    """The production constrained serving tick
+    (ALDDP.serving_tick_batch — shifted warm start + `outers`
+    frozen-penalty updates, BENCH_NOTES.md round 4) under shard_map:
+    each chip serves its shard; ICI carries only scalar feasibility
+    telemetry. `f(al_states, x0s, params_batch) -> (al_states, metrics)`."""
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis)),
+        out_specs=(P(axis), P()),
+        check_vma=False,
+    )
+    def _tick_shard(st, x0s, params):
+        st = alddp.serving_tick_batch(st, x0s, params, outers=outers)
+        cost = st.sol.cost
+        n_total = jax.lax.psum(jnp.asarray(cost.shape[0], cost.dtype), axis)
+        metrics = dict(
+            mean_cost=jax.lax.psum(jnp.sum(cost), axis) / n_total,
+            max_viol=jax.lax.pmax(jnp.max(st.viol), axis),
+            max_defect=jax.lax.pmax(jnp.max(st.sol.defect_norm), axis),
+        )
+        return st, metrics
+
+    return jax.jit(_tick_shard)
+
+
 def replicate_params(params: Dict[str, jnp.ndarray], batch: int):
     """Tile a problem's parameter pytree along a new scenario axis."""
     return jax.tree.map(

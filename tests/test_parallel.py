@@ -139,3 +139,46 @@ class TestShardedConstrainedTick:
             float(metrics["mean_cost"]), float(jnp.mean(ref.sol.cost)),
             rtol=1e-9,
         )
+
+
+class TestShardedServingTick:
+    def test_matches_unsharded(self):
+        """The packaged 2-outer serving tick under shard_map
+        (parallel.mesh.sharded_serving_tick) must equal the unsharded
+        ALDDP.serving_tick_batch member-for-member."""
+        from srbd_horizon_tpu.parallel.mesh import sharded_serving_tick
+        from srbd_horizon_tpu.problems.isrbd import build_isrbd_problem
+        from srbd_horizon_tpu.solvers.alddp import ALDDP, ALOptions
+
+        cfg = SRBDConfig(dtype=jnp.float64)
+        prob = build_isrbd_problem(cfg, kangaroo_line_feet())
+        solver = ALDDP(
+            prob.ocp,
+            ddp_opts=DDPOptions(max_iters=1, alpha_converge_threshold=1e-12,
+                                beta=1e-3),
+            al_opts=ALOptions(outer_iters=2, rho0=1e5, rho_max=1e5),
+        )
+        mesh = make_mesh()
+        B = 8
+        x0 = jnp.tile(prob.initial_state[None], (B, 1))
+        x0 = x0.at[:, 0].add(jnp.linspace(-0.01, 0.01, B))
+        U0 = jnp.tile(prob.static_input[None], (prob.ocp.ns, 1))
+        params = replicate_params(prob.ocp.params, B)
+        st0 = jax.vmap(lambda x: solver.init(x, U0=U0))(x0)
+
+        ref = jax.jit(solver.serving_tick_batch)(st0, x0, params)
+        tick = sharded_serving_tick(solver, mesh)
+        got, metrics = tick(
+            shard_batch(mesh, st0), shard_batch(mesh, x0),
+            shard_batch(mesh, params),
+        )
+        np.testing.assert_allclose(
+            np.asarray(got.sol.X), np.asarray(ref.sol.X),
+            rtol=1e-9, atol=1e-11,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got.viol), np.asarray(ref.viol), rtol=1e-9,
+        )
+        np.testing.assert_allclose(
+            float(metrics["max_viol"]), float(jnp.max(ref.viol)), rtol=1e-9,
+        )
