@@ -90,12 +90,46 @@ def main(out_path: str):
     # second tick exercises the warm-started path across the boundary too
     carries, outs, metrics = tick(carries, inp)
 
+    # constrained (AL/isrbd) serving tick across the same cross-process
+    # mesh: the full-NLP fleet path's psum'd feasibility telemetry must
+    # agree between processes too (parallel.mesh.sharded_serving_tick)
+    import dataclasses
+
+    from srbd_horizon_tpu.parallel.mesh import sharded_serving_tick
+    from srbd_horizon_tpu.problems.isrbd import build_isrbd_problem
+    from srbd_horizon_tpu.solvers.alddp import ALDDP
+    from srbd_horizon_tpu.solvers.options import al_serving_options
+
+    cfg = SRBDConfig(ns=5, dtype=jnp.float32)
+    iprob = build_isrbd_problem(cfg, kangaroo_line_feet())
+    ddp_on, al_on = al_serving_options(max_iters=1)
+    al_on = dataclasses.replace(al_on, rho0=al_on.rho_max)
+    alddp = ALDDP(iprob.ocp, ddp_opts=ddp_on, al_opts=al_on)
+    ix0 = np.tile(np.asarray(iprob.initial_state)[None], (GLOBAL_BATCH, 1))
+    iU0 = jnp.tile(iprob.static_input[None], (iprob.ocp.ns, 1))
+    ist_local = jax.vmap(lambda x: alddp.init(x, U0=iU0))(
+        jnp.asarray(ix0[sl])
+    )
+    iparams_local = jax.tree.map(
+        lambda a: jnp.tile(a[None], (sl.stop - sl.start,) + (1,) * a.ndim),
+        iprob.ocp.params,
+    )
+    ist = shard_global_batch(mesh, jax.tree.map(np.asarray, ist_local))
+    ix0_s = shard_global_batch(mesh, ix0[sl])
+    iparams = shard_global_batch(
+        mesh, jax.tree.map(np.asarray, iparams_local)
+    )
+    ctick = sharded_serving_tick(alddp, mesh)
+    ist, imetrics = ctick(ist, ix0_s, iparams)
+
     result = dict(
         distributed=bool(active),
         **info,
         mean_cost=float(metrics["mean_cost"]),
         max_defect=float(metrics["max_defect"]),
         max_srbd_residual=float(metrics["max_srbd_residual"]),
+        constrained_max_viol=float(imetrics["max_viol"]),
+        constrained_mean_cost=float(imetrics["mean_cost"]),
         local_x_finite=bool(
             np.all(np.isfinite(
                 np.concatenate([np.asarray(s.data) for s in

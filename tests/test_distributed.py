@@ -64,7 +64,9 @@ class TestTwoProcessDistributed:
         assert r0["local_x_finite"] and r1["local_x_finite"]
 
         # psum/pmax metrics are GLOBAL: both processes see identical values
-        for k in ("mean_cost", "max_defect", "max_srbd_residual"):
+        # (including the constrained serving tick's feasibility telemetry)
+        for k in ("mean_cost", "max_defect", "max_srbd_residual",
+                  "constrained_max_viol", "constrained_mean_cost"):
             np.testing.assert_allclose(r0[k], r1[k], rtol=1e-6)
 
         # and they equal the same fleet solved in one process
