@@ -47,14 +47,19 @@ def _drain(out) -> None:
 
 
 def _measure(batch: int, n_ticks: int, ns: int, max_iters: int,
-             per_tick_sync: bool = True):
+             per_tick_sync: bool = True, chunk: int = 0):
     """Run one operating point; returns per-tick wall times + health stats.
 
     per_tick_sync=True  — host-read after every tick: each sample is a true
                           end-to-end tick latency (including one device→host
                           readback, as a deployed controller would pay).
     per_tick_sync=False — dispatch the whole run and host-read once at the
-                          end: pipelined steady-state throughput."""
+                          end: pipelined steady-state throughput.
+    chunk>0             — cache-blocked execution (runtime.chunked.chunk_map):
+                          the tick runs in chunk-member slices so the
+                          per-member working set stays cache-resident at any
+                          fleet size (round 4: B=4096 at chunk 512 runs the
+                          unconstrained fleet at 17.3k vs 15.9k unchunked)."""
     from srbd_horizon_tpu.config import DDPOptions, SRBDConfig
     from srbd_horizon_tpu.models.kangaroo import kangaroo_line_feet
     from srbd_horizon_tpu.problems.srbd import build_srbd_problem
@@ -95,7 +100,12 @@ def _measure(batch: int, n_ticks: int, ns: int, max_iters: int,
 
     # donate the carry: the previous tick's plan/params buffers are dead
     # after each call — donation avoids a device-side copy of ~10 MB/tick
-    vtick = jax.jit(loop.tick_batch, donate_argnums=(0,))
+    tick_fn = loop.tick_batch
+    if chunk:
+        from srbd_horizon_tpu.runtime.chunked import chunk_map
+
+        tick_fn = chunk_map(tick_fn, chunk)
+    vtick = jax.jit(tick_fn, donate_argnums=(0,))
 
     # the command stream is t-invariant here (constant walk command), so
     # build it ONCE and keep it device-resident — re-creating the arrays
@@ -198,9 +208,14 @@ def main(batch: int = 4096, n_ticks: int = 10, ns: int = 20,
 
     # THROUGHPUT operating point: the headline number — pipelined
     # steady-state ticks (dispatch chained, one host read at the end),
-    # the way a serving fleet actually runs
+    # the way a serving fleet actually runs. Cache-blocked at the
+    # measured chunk knee (512): past it the per-member working set
+    # streams through HBM (round 4: 17.3k vs 15.9k solve/s at B=4096;
+    # chunk 1024 ≈ unchunked, chunk 256 pathological — see BENCH_NOTES).
+    thr_chunk = 512 if batch > 512 else 0
     thr_times, finite, max_defect, iters_mean, _ = _measure(
-        batch, max(20, n_ticks), ns, max_iters, per_tick_sync=False
+        batch, max(20, n_ticks), ns, max_iters, per_tick_sync=False,
+        chunk=thr_chunk,
     )
     elapsed = float(np.sum(thr_times))
     ticks_per_s = len(thr_times) / elapsed
@@ -214,6 +229,7 @@ def main(batch: int = 4096, n_ticks: int = 10, ns: int = 20,
         "batch": batch,
         "ns": ns,
         "max_iters": max_iters,
+        "chunk": thr_chunk,
         "tick_latency_ms": round(1e3 / ticks_per_s, 2),
         "finite": finite and lat_finite,
         "max_defect": max(max_defect, lat_defect),
