@@ -48,6 +48,12 @@ def parse_args(name: str):
         help="publish per-tick telemetry JSON over UDP (solution_time / "
         "srbd_constraint topic analogs)",
     )
+    ap.add_argument(
+        "--constrained", action="store_true",
+        help="(quadruped) run the constrained AL/isrbd path — active "
+        "friction cones, force boxes, hybrid SRBD/LIP schedule — with "
+        "the round-4 2-outer RTI serving tick",
+    )
     return ap.parse_args()
 
 
