@@ -79,9 +79,13 @@ def _run(inject):
 
 
 class TestConstrainedChaos:
-    def setup_method(self):
-        self.st_f, self.Xs_f, self.reports_f = _run(inject=True)
-        self.st_c, self.Xs_c, self.reports_c = _run(inject=False)
+    @classmethod
+    def setup_class(cls):
+        # class-scoped: both runs are deterministic and every test only
+        # READS them (re-running ~38 s of offline solve + ticks per test
+        # method was the suite's single largest fixed cost)
+        cls.st_f, cls.Xs_f, cls.reports_f = _run(inject=True)
+        cls.st_c, cls.Xs_c, cls.reports_c = _run(inject=False)
 
     def test_clean_run_all_healthy(self):
         for r in self.reports_c:

@@ -29,14 +29,17 @@ def _build(outer_iters=6, max_iters=15):
 
 
 class TestISRBDOffline:
-    def setup_method(self):
-        self.cfg, self.prob, self.solver = _build()
-        x0 = self.prob.initial_state
-        ns = self.prob.ocp.ns
-        U0 = jnp.tile(self.prob.static_input[None], (ns, 1))
-        st0 = self.solver.init(x0, U0=U0)
-        self.st = jax.jit(self.solver.solve)(st0, x0, self.prob.ocp.params)
-        self.d = self.solver.solution_dict(self.st)
+    @classmethod
+    def setup_class(cls):
+        # class-scoped: the offline solve is identical for every test
+        # method here (read-only assertions on the same solution)
+        cls.cfg, cls.prob, cls.solver = _build()
+        x0 = cls.prob.initial_state
+        ns = cls.prob.ocp.ns
+        U0 = jnp.tile(cls.prob.static_input[None], (ns, 1))
+        st0 = cls.solver.init(x0, U0=U0)
+        cls.st = jax.jit(cls.solver.solve)(st0, x0, cls.prob.ocp.params)
+        cls.d = cls.solver.solution_dict(cls.st)
 
     def test_feasibility(self):
         """All hard constraints satisfied to AL tolerance."""
