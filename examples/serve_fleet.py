@@ -156,7 +156,11 @@ def main():
 
         def client(rid):
             s = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
-            vx = 0.1 + 0.01 * rid
+            # heterogeneous but feasible commands: the gait envelope
+            # tops out ~0.35 m/s (0.5 s steps); commanding beyond it
+            # makes the health monitor perpetually reset the member
+            # (correct behavior, wrong demo)
+            vx = 0.1 + 0.01 * (rid % 20)
             while not stop.is_set():
                 send_command(s, ("127.0.0.1", port), rid, 1, vx, 0.0)
                 res = recv_result(s, timeout=0.3)

@@ -39,6 +39,14 @@ class HealthMonitor:
     # constrained-path explosion threshold, SCALED violation units
     # (OCP.eq_scale): the walking transient plateaus ~5e-2
     max_constraint_viol: float = 0.5
+    # Constrained-path cost threshold — SEPARATE from max_cost: the
+    # inner AL objective includes the λ/√(ρw) centering terms, which at
+    # CONVERGED multipliers legitimately contribute λ²/(ρw) ≈ 3e6 on
+    # the walking fleet (λ saturates ~2.4e6 by ~120 ticks; measured
+    # flat thereafter — no drift). Gating it at max_cost=1e6 made the
+    # serving daemon slowly reset-cycle perfectly healthy members once
+    # their multipliers converged (round-4 TPU daemon finding).
+    max_constrained_cost: float = 1e9
 
     def check(self, out: TickOutput) -> HealthReport:
         finite = jnp.all(jnp.isfinite(out.x), axis=-1) & jnp.all(
@@ -82,7 +90,7 @@ class HealthMonitor:
             jnp.isfinite(st.sol.U), axis=(-2, -1)
         )
         viol_ok = st.viol < self.max_constraint_viol
-        cost_ok = st.sol.cost < self.max_cost
+        cost_ok = st.sol.cost < self.max_constrained_cost
         ok = finite & viol_ok & cost_ok
         return HealthReport(
             healthy=ok, finite=finite, defect_ok=viol_ok,

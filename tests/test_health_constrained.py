@@ -113,3 +113,60 @@ class TestConstrainedChaos:
                 self.Xs_f[t][others], self.Xs_c[t][others],
                 err_msg=f"tick {t}",
             )
+
+
+class TestNoResetCycleAtConvergedMultipliers:
+    def test_long_run_monitored_serving_stays_healthy(self):
+        """Round-4 regression: the inner AL objective's λ-centering terms
+        legitimately reach ~3e6 once the multipliers converge (~120
+        ticks); the monitor must NOT classify that as a cost explosion
+        (gating it at the unconstrained max_cost=1e6 made the serving
+        daemon slowly reset-cycle healthy members)."""
+        from srbd_horizon_tpu.solvers.options import al_serving_options
+
+        cfg, prob, _, wpg, _ = _setup()
+        ddp_off, al_off = al_serving_options(max_iters=15)
+        offline = ALDDP(prob.ocp, ddp_opts=ddp_off, al_opts=al_off)
+        ddp_on, al_on = al_serving_options(max_iters=1)
+        online = ALDDP(prob.ocp, ddp_opts=ddp_on, al_opts=al_on)
+        monitor = HealthMonitor()
+        Bn, ns = 4, prob.ocp.ns
+        x0 = jnp.tile(prob.initial_state[None], (Bn, 1))
+        U0 = jnp.tile(prob.static_input[None], (ns, 1))
+        params = jax.tree.map(
+            lambda a: jnp.tile(a[None], (Bn,) + (1,) * a.ndim),
+            prob.ocp.params,
+        )
+        st = jax.jit(offline.solve_batch)(
+            jax.vmap(lambda x: offline.init(x, U0=U0))(x0), x0, params
+        )
+        rdot = jnp.tile(jnp.array([[0.1, 0.0, 0.0]], DTYPE), (Bn, 1))
+
+        @jax.jit
+        def ctick(st, params, wpg_state):
+            p1, w1 = jax.vmap(
+                lambda p, s: wpg.advance(p, s, jnp.asarray(1, jnp.int32))
+            )(params, wpg_state)
+            p1["rdot_ref"] = p1["rdot_ref"].at[:, 1:].set(rdot[:, None, :])
+            x0n = st.sol.X[:, 1]
+            st = jax.vmap(online.shift_warmstart)(st)
+            st = online.solve_online_batch(st, x0n, p1)
+            st, report = monitor.monitored_constrained_tick(
+                online, st, x0n, p1,
+                x_safe=prob.initial_state, u_safe=prob.static_input,
+            )
+            return st, p1, w1, report
+
+        wpg_state = jax.vmap(lambda _: wpg.init_state())(jnp.arange(Bn))
+        resets_after_transient = 0
+        for t in range(160):
+            st, params, wpg_state, rep = ctick(st, params, wpg_state)
+            if t >= 10:
+                resets_after_transient += int(
+                    Bn - np.sum(np.asarray(rep.healthy))
+                )
+        assert resets_after_transient == 0, resets_after_transient
+        # the multipliers did converge into the regime that used to trip
+        # the old gate (the test is not vacuous)
+        assert float(jnp.max(st.sol.cost)) > 1e6
+        assert float(jnp.max(st.viol)) < 5e-3
