@@ -33,7 +33,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 from oracle_ddp import solve_ilqr
 from srbd_horizon_tpu.config import DDPOptions
 from srbd_horizon_tpu.ocp.layout import VarLayout
-from srbd_horizon_tpu.ocp.spec import OCP
+from srbd_horizon_tpu.ocp.spec import OCP, node_mask
 from srbd_horizon_tpu.solvers.msddp import MSDDP
 
 
@@ -243,3 +243,112 @@ class TestFuzzSparsityExactness:
                     rtol=1e-9, atol=1e-11,
                     err_msg=f"seed {seed} {overrides}",
                 )
+
+
+class TestFuzzConstrainedAL:
+    """Property fuzz for the AL stack + automatic scaling: random
+    constrained OCPs with badly mixed units, CONSTRUCTED FEASIBLE by
+    anchoring the equality rows at a drawn trajectory point, must solve
+    through auto_eq_scale + ALDDP in float32 to tight scaled violation.
+    This exercises the full custom-problem path (docs/CUSTOM_PROBLEMS.md)
+    the way a user would hit it: arbitrary residuals, linear mixed-unit
+    equalities, input boxes — no hand-built eq_scale/eq_rho_weight."""
+
+    def _random_constrained_ocp(self, seed):
+        rng = np.random.default_rng(seed)
+        nx = int(rng.integers(2, 5))
+        nu = int(rng.integers(1, 4))
+        ns = int(rng.integers(6, 12))
+        dt = 0.1
+        # all constants f32: f64 numpy arrays are strong types under
+        # the suite's x64 config and would silently promote the stacks
+        f32 = np.float32
+        A = (0.3 * rng.standard_normal((nx, nx))).astype(f32)
+        Bm = rng.standard_normal((nx, nu)).astype(f32)
+        x_ref = rng.standard_normal(nx).astype(f32)
+
+        def xdot(x, u, p):
+            del p
+            return A @ jnp.tanh(x) + Bm @ u
+
+        def step(x, u, p, dt_):
+            return x + dt_ * xdot(x, u, p)
+
+        Wr = rng.uniform(0.3, 3.0, nx).astype(f32)
+        Wu = rng.uniform(0.01, 0.1, nu).astype(f32)
+
+        def stage_residual(x, u, p):
+            del p
+            return jnp.concatenate([Wr * (x - x_ref), Wu * u])
+
+        def terminal_residual(x, p):
+            del p
+            return Wr * (x - x_ref)
+
+        # mixed-unit LINEAR equality rows anchored at a feasible point:
+        # h(x, u) = S_bad @ (C [x;u] - C [x*;u*]) with row magnitudes
+        # spanning 1e-2..1e3 (the "newtons next to meters" scenario).
+        # n_eq <= nu (pointwise satisfiable via the input) and active on
+        # nodes >= 2 only (the isrbd lipzone-mask pattern: with x0
+        # pinned, node-0/1 rows can be structurally infeasible)
+        n_eq = int(rng.integers(1, min(nu, 2) + 1))
+        C = rng.standard_normal((n_eq, nx + nu)).astype(f32)
+        S_bad = (10.0 ** rng.uniform(-2, 3, n_eq)).astype(f32)
+        x_star = (x_ref + 0.1 * rng.standard_normal(nx)).astype(f32)
+        u_star = (0.1 * rng.standard_normal(nu)).astype(f32)
+        b = (C @ np.concatenate([x_star, u_star])).astype(f32)
+
+        def stage_eq(x, u, p):
+            return p["mask_eq"] * jnp.asarray(S_bad) * (
+                jnp.asarray(C) @ jnp.concatenate([x, u]) - jnp.asarray(b)
+            )
+
+        from srbd_horizon_tpu.ocp.spec import unbounded
+
+        # finite input box wide enough not to conflict with the random
+        # equality subspace (a tight box + eq + dynamics is generically
+        # INFEASIBLE; the box path is exercised, it must not bind)
+        u_lb, u_ub = unbounded(ns, nu, jnp.float32)
+        u_lb = u_lb.at[:].set(jnp.asarray(u_star - 30.0, jnp.float32))
+        u_ub = u_ub.at[:].set(jnp.asarray(u_star + 30.0, jnp.float32))
+
+        ocp = OCP(
+            ns=ns, dt=dt,
+            state_layout=VarLayout([("x", nx)]),
+            input_layout=VarLayout([("u", nu)]),
+            step=step, xdot=xdot,
+            stage_residual=stage_residual,
+            terminal_residual=terminal_residual,
+            stage_eq=stage_eq,
+            u_lb=u_lb, u_ub=u_ub,
+            params={"mask_eq": node_mask(ns, 2, ns + 1, jnp.float32)[:, None]},
+        )
+        x0 = jnp.asarray(x_star + 0.2 * rng.standard_normal(nx),
+                         jnp.float32)
+        return ocp, x0, np.asarray(S_bad)
+
+    def test_random_mixed_unit_problems_solve_f32(self):
+        from srbd_horizon_tpu.ocp.scaling import auto_eq_scale
+        from srbd_horizon_tpu.solvers.alddp import ALDDP, ALOptions
+
+        solved = 0
+        for seed in range(6):
+            ocp, x0, S_bad = self._random_constrained_ocp(seed)
+            scaled = auto_eq_scale(ocp, x0, state_row_stiffness=100.0)
+            # the auto scales must have tamed the 1e-2..1e3 row spread
+            s = np.asarray(scaled.eq_scale)
+            assert np.all(s <= 1.0) and np.all(s > 0.0)
+            solver = ALDDP(
+                scaled,
+                ddp_opts=DDPOptions(
+                    max_iters=20, alpha_converge_threshold=1e-12,
+                    beta=1e-3, cost_reduction_ths=1e-10,
+                ),
+                al_opts=ALOptions(outer_iters=8, rho0=1e3, rho_max=1e5,
+                                  tol=1e-6),
+            )
+            st = jax.jit(solver.solve)(solver.init(x0), x0, scaled.params)
+            assert bool(jnp.all(jnp.isfinite(st.sol.X))), seed
+            assert float(st.viol) < 5e-3, (seed, float(st.viol))
+            solved += 1
+        assert solved == 6
