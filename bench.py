@@ -15,9 +15,10 @@ single serial solver instance (dsrbd_example.py:48) ⇒ baseline = 10 solves/s.
 Three operating points, all measured (BASELINE.md target table):
   - THROUGHPUT (headline `value`): B=4096, maximize solves/s.
   - LATENCY: B=512, per-tick p50/p99 vs the 100 ms replanning budget
-    (dsrbd_example.py:48: hz=10); `realtime_ok` gates on the p50 (each
-    sample pays one tunnel RTT and network spikes land in the p99 —
-    see the inline comment at the realtime_ok field).
+    (dsrbd_example.py:48: hz=10); `realtime_ok` gates on the e2e p50
+    AND the device-side p99 (each e2e sample pays one tunnel RTT and
+    network spikes land in the e2e p99, so that one is reported but
+    not gated — see the inline comment at the realtime_ok field).
   - CONSTRAINED (`constrained` field): the full-NLP isrbd AL-serving
     fleet (tools/bench_isrbd.py) at its sweet-spot batch B=256 — the
     reference's IPOPT/gnsqp workload; `constrained_at_scale` repeats it
@@ -234,12 +235,15 @@ def main(batch: int = 4096, n_ticks: int = 10, ns: int = 20,
         "finite": finite and lat_finite,
         "max_defect": max(max_defect, lat_defect),
         "solver_iters_mean": round(iters_mean, 2),
-        # real-time operating point, gated on BASELINE.md's own criterion
-        # (p50 within the 100 ms replanning budget). p99 is reported for
-        # honesty but NOT gated: each latency sample pays one tunnel
-        # round-trip (rtt_ms), and occasional multi-RTT network spikes
-        # land in the p99 — run-to-run it swings 86–150 ms while p50 is
-        # stable; an on-host deployment pays neither.
+        # real-time operating point, gated on BASELINE.md's criterion
+        # (100 ms replanning budget) applied to BOTH the e2e p50 and the
+        # device-side p99. The e2e p99 is reported for attribution but
+        # not gated: each latency sample pays one tunnel round-trip
+        # (rtt_ms) and occasional multi-RTT network spikes land in it —
+        # run-to-run it swings 86–150 ms while p50 is stable; an on-host
+        # deployment pays neither. The DEVICE p99 (paired-window
+        # differencing, RTT cancels) has no such excuse: a genuine
+        # on-device tail regression must fail the gate.
         "realtime_batch": realtime_batch,
         "p50_ms": round(p50_ms, 2),
         "p99_ms": round(p99_ms, 2),
@@ -248,7 +252,11 @@ def main(batch: int = 4096, n_ticks: int = 10, ns: int = 20,
         # with a stable device_p99 is attributable to the tunnel, not a
         # solver regression
         **(device_stats or {}),
-        "realtime_ok": bool(p50_ms <= 100.0),
+        "realtime_ok": bool(
+            p50_ms <= 100.0
+            and (device_stats is None
+                 or device_stats["device_p99_ms"] <= 100.0)
+        ),
         "realtime_solves_per_s": round(realtime_batch * 1e3 / p50_ms, 1),
         # backend dispatch+readback floor (tunnel RTT, included in every
         # latency sample above; an on-host deployment would not pay it)

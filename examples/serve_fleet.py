@@ -45,6 +45,22 @@ def main():
                     help="serve the full-NLP (AL/isrbd) path: active "
                          "friction cones, force boxes, hybrid dynamics — "
                          "the round-4 2-outer RTI serving tick")
+    ap.add_argument("--checkpoint", type=str, default=None,
+                    help="periodically snapshot the fleet state (solver "
+                         "plan, multipliers, params, gait phase, tick) to "
+                         "this path via runtime.checkpoint")
+    ap.add_argument("--checkpoint-every", type=int, default=20,
+                    help="ticks between snapshots (default 20)")
+    ap.add_argument("--resume", action="store_true",
+                    help="restore the fleet from --checkpoint if present: "
+                         "a SIGKILLed daemon continues where it died "
+                         "instead of re-seeding from scratch")
+    ap.add_argument("--viz", choices=("term", "svg"), default=None,
+                    help="live fleet telemetry view (io/live.py): 'term' "
+                         "redraws a dashboard in the terminal, 'svg' "
+                         "rewrites --viz-path every few ticks (the 10 Hz "
+                         "RViz-loop analog, dsrbd_example.py:139-149)")
+    ap.add_argument("--viz-path", type=str, default="fleet_live.svg")
     args = ap.parse_args()
     port = args.port or 41000 + (pathlib.os.getpid() % 10000)
 
@@ -102,11 +118,38 @@ def main():
             lambda a: jnp.tile(a[None], (B,) + (1,) * a.ndim),
             prob.ocp.params,
         )
-        print("seeding constrained fleet (offline AL solve)...", flush=True)
-        al_state = jax.jit(offline.solve_batch)(
-            jax.vmap(lambda x: offline.init(x, U0=U0))(x0), x0, params
-        )
         wpg_state = jax.vmap(lambda _: wpg.init_state())(jnp.arange(B))
+        # crash-resume: restore the fleet (plan + AL multipliers + params
+        # + gait phase + tick) instead of re-running the offline seed
+        start_tick = 0
+        al_state = None
+        if args.checkpoint and args.resume:
+            from srbd_horizon_tpu.runtime.checkpoint import load_pytree
+
+            template = {
+                "al_state": jax.vmap(
+                    lambda x: offline.init(x, U0=U0)
+                )(x0),
+                "params": params, "wpg_state": wpg_state,
+                "tick": jnp.asarray(0, jnp.int32),
+            }
+            try:
+                snap = load_pytree(args.checkpoint, template)
+                al_state, params, wpg_state = (
+                    snap["al_state"], snap["params"], snap["wpg_state"]
+                )
+                start_tick = int(snap["tick"])
+                print(f"resumed fleet from {args.checkpoint} at tick "
+                      f"{start_tick}", flush=True)
+            except FileNotFoundError:
+                print(f"no checkpoint at {args.checkpoint}; seeding fresh",
+                      flush=True)
+        if al_state is None:
+            print("seeding constrained fleet (offline AL solve)...",
+                  flush=True)
+            al_state = jax.jit(offline.solve_batch)(
+                jax.vmap(lambda x: offline.init(x, U0=U0))(x0), x0, params
+            )
 
         @jax.jit
         def ctick(st, params, wpg_state, inp):
@@ -138,6 +181,23 @@ def main():
 
         x0 = jnp.tile(prob.initial_state[None], (B, 1))
         carries = jax.vmap(loop.init)(x0)
+        # crash-resume: restore the fleet carry (sim state + plan +
+        # params + gait phase) and the tick index
+        start_tick = 0
+        if args.checkpoint and args.resume:
+            from srbd_horizon_tpu.runtime.checkpoint import load_pytree
+
+            template = {"carries": carries,
+                        "tick": jnp.asarray(0, jnp.int32)}
+            try:
+                snap = load_pytree(args.checkpoint, template)
+                carries = snap["carries"]
+                start_tick = int(snap["tick"])
+                print(f"resumed fleet from {args.checkpoint} at tick "
+                      f"{start_tick}", flush=True)
+            except FileNotFoundError:
+                print(f"no checkpoint at {args.checkpoint}; starting "
+                      f"fresh", flush=True)
 
         @jax.jit
         def vtick(carry, inp):
@@ -148,6 +208,18 @@ def main():
 
     router = FleetRouter(port, B)
     print(f"serving {B} robots on udp:{port} at {args.hz} Hz", flush=True)
+
+    view = None
+    if args.viz:
+        from srbd_horizon_tpu.io.live import LiveFleetView
+
+        view = LiveFleetView(
+            B, mode=args.viz,
+            metric_label="viol" if args.constrained else "cost",
+            svg_path=args.viz_path,
+        )
+        if args.viz == "svg":
+            print(f"live view: {args.viz_path}", flush=True)
 
     clients = []
     results_seen = {}
@@ -176,7 +248,7 @@ def main():
     period = 1.0 / args.hz
     deadline_misses = 0
     try:
-        for t in range(args.ticks):
+        for t in range(start_tick, args.ticks):
             t0 = time.perf_counter()
             actions, rdot, _wz, counts, seen = router.snapshot()
             inp = TickInput(
@@ -205,6 +277,22 @@ def main():
                 rows[:, 4] = np.asarray(out.iterations)
                 rows[:, 5] = np.asarray(out.converged)
             router.send_results(rows)
+            if view is not None:
+                view.update(t, rows)
+            if args.checkpoint and (t + 1) % args.checkpoint_every == 0:
+                from srbd_horizon_tpu.runtime.checkpoint import save_pytree
+
+                if args.constrained:
+                    save_pytree(args.checkpoint, {
+                        "al_state": al_state, "params": params,
+                        "wpg_state": wpg_state,
+                        "tick": jnp.asarray(t + 1, jnp.int32),
+                    })
+                else:
+                    save_pytree(args.checkpoint, {
+                        "carries": carries,
+                        "tick": jnp.asarray(t + 1, jnp.int32),
+                    })
             dt = time.perf_counter() - t0
             if dt > period:
                 deadline_misses += 1

@@ -32,19 +32,40 @@ def save_pytree(path: str, tree: Any) -> None:
 def load_pytree(path: str, like: Any) -> Any:
     """Load leaves saved by `save_pytree` into the structure of `like`
     (structural template — also restores dtypes/sharding via device_put
-    against the template's leaves)."""
+    against the template's leaves).
+
+    The SAVED treedef is verified against the template's: a checkpoint
+    written for a different structure (even one with the same leaf
+    count — e.g. swapped same-shape fields) refuses to restore instead
+    of silently filling the wrong slots. Leaf shapes are checked too,
+    so a batch-size mismatch raises here, not deep inside a jit."""
     p = pathlib.Path(path)
     data = np.load(p.with_suffix(".npz"))
     leaves_like, treedef = jax.tree.flatten(like)
-    leaves = [
-        jax.device_put(data[f"leaf_{i}"].astype(np.asarray(l).dtype))
-        for i, l in enumerate(leaves_like)
-    ]
-    if len(leaves) != len(leaves_like):
+    tree_file = p.with_suffix(".tree.json")
+    if tree_file.exists():
+        saved = json.loads(tree_file.read_text())
+        if saved != str(treedef):
+            raise ValueError(
+                "checkpoint treedef does not match the template's "
+                f"structure:\n  saved:    {saved}\n  template: {treedef}"
+            )
+    n_saved = len(data.files)
+    if n_saved != len(leaves_like):
         raise ValueError(
-            f"checkpoint has {len(leaves)} leaves, template has "
+            f"checkpoint has {n_saved} leaves, template has "
             f"{len(leaves_like)}"
         )
+    leaves = []
+    for i, l in enumerate(leaves_like):
+        arr = data[f"leaf_{i}"]
+        want = np.shape(np.asarray(l))
+        if arr.shape != want:
+            raise ValueError(
+                f"checkpoint leaf {i} has shape {arr.shape}, template "
+                f"expects {want}"
+            )
+        leaves.append(jax.device_put(arr.astype(np.asarray(l).dtype)))
     return jax.tree.unflatten(treedef, leaves)
 
 

@@ -95,6 +95,48 @@ class TestCheckpoint:
             np.asarray(c_b.wpg_state.step_counter),
         )
 
+    def test_structural_mismatch_raises(self, tmp_path):
+        """A checkpoint written for a different pytree STRUCTURE must
+        refuse to restore — even when the leaf count matches (swapped
+        same-shape fields restore silently wrong otherwise). The saved
+        treedef is the source of truth, not the caller's template."""
+        import pytest
+
+        from srbd_horizon_tpu.runtime.checkpoint import (
+            load_pytree, save_pytree,
+        )
+
+        tree = {"a": jnp.zeros((3,)), "b": jnp.ones((3,))}
+        path = str(tmp_path / "ck")
+        save_pytree(path, tree)
+
+        # same leaf count + shapes, different structure (key names)
+        wrong_keys = {"a": jnp.zeros((3,)), "c": jnp.ones((3,))}
+        with pytest.raises(ValueError, match="treedef"):
+            load_pytree(path, wrong_keys)
+
+        # same structure, wrong leaf shape (e.g. batch-size mismatch)
+        wrong_shape = {"a": jnp.zeros((4,)), "b": jnp.ones((3,))}
+        with pytest.raises(ValueError, match="shape"):
+            load_pytree(path, wrong_shape)
+
+        # wrong leaf count (treedef check fires first)
+        extra = {"a": jnp.zeros((3,)), "b": jnp.ones((3,)),
+                 "c": jnp.ones((2,))}
+        with pytest.raises(ValueError, match="treedef"):
+            load_pytree(path, extra)
+
+        # legacy checkpoint without a .tree.json: leaf-count check holds
+        import pathlib
+
+        pathlib.Path(path).with_suffix(".tree.json").unlink()
+        with pytest.raises(ValueError, match="leaves"):
+            load_pytree(path, extra)
+
+        # the matching template still round-trips
+        ok = load_pytree(path, jax.tree.map(jnp.zeros_like, tree))
+        np.testing.assert_array_equal(np.asarray(ok["b"]), np.ones(3))
+
 
 class TestSoakTool:
     def test_soak_smoke(self):

@@ -15,6 +15,15 @@ Prints one JSON line with per-window p50/p99 wall times and the drift
 envelope over the whole run.
 
 Usage: python tools/soak.py [batch] [ticks] [--cpu] [--constrained]
+                            [--checkpoint PATH] [--resume]
+
+`--checkpoint PATH` snapshots the full fleet state (solver plan + AL
+multipliers + parameter pytree + gait phase + tick index) after every
+health window via runtime.checkpoint; `--resume` restarts from the
+snapshot — a SIGKILLed soak continues where it died with bit-identical
+fleet state (tests/test_crash_resume.py SIGKILLs one mid-run and checks
+the resumed windows match an uninterrupted run). The reference's only
+analog is in-process warm-starting (reference ddp.py:113-117).
 
 `--constrained` soaks the AL fleet-serving path instead (the
 tools/bench_isrbd.py workload: shifted warm starts, one frozen-penalty
@@ -37,7 +46,8 @@ import numpy as np
 
 
 def main_constrained(batch=256, ticks=1000, window=100,
-                     online_iters=1, outers=2):
+                     online_iters=1, outers=2,
+                     checkpoint=None, resume=False):
     window = max(1, min(window, ticks))
     from srbd_horizon_tpu.config import SRBDConfig
     from srbd_horizon_tpu.models.kangaroo import kangaroo_line_feet
@@ -84,10 +94,36 @@ def main_constrained(batch=256, ticks=1000, window=100,
     st, params, wpg_state = tick_j(st, params, wpg_state, action, rdot_ref)
     float(jnp.sum(st.viol))  # compile + drain
 
+    # Crash-resume (runtime/checkpoint.py): restore the full fleet state
+    # — solver plan + AL multipliers + params + gait phase + window
+    # index — or fall through to the fresh seed above when no snapshot
+    # exists yet. Restored AFTER the compile-warmup tick (whose state
+    # advance is discarded here), so the resumed tick stream continues
+    # the snapshot exactly — bit-identical windows vs an uninterrupted
+    # run. Saved after every health window (the host read is already
+    # paid there).
+    w_start = 0
+    if checkpoint and resume:
+        from srbd_horizon_tpu.runtime.checkpoint import load_pytree
+
+        template = {"st": st, "params": params, "wpg_state": wpg_state,
+                    "window": jnp.asarray(0, jnp.int32)}
+        try:
+            snap = load_pytree(checkpoint, template)
+            st, params, wpg_state = (
+                snap["st"], snap["params"], snap["wpg_state"]
+            )
+            w_start = int(snap["window"])
+            print(f"resumed from {checkpoint} at window {w_start}",
+                  file=sys.stderr, flush=True)
+        except FileNotFoundError:
+            print(f"no checkpoint at {checkpoint}; starting fresh",
+                  file=sys.stderr, flush=True)
+
     windows = []
     viol_hi, ok = 0.0, True
     t_start = time.perf_counter()
-    for w in range(ticks // window):
+    for w in range(w_start, ticks // window):
         t0 = time.perf_counter()
         for _ in range(window):
             st, params, wpg_state = tick_j(
@@ -107,6 +143,13 @@ def main_constrained(batch=256, ticks=1000, window=100,
             f"iters={iters:.2f} {'ok' if w_ok else 'FAIL'}",
             file=sys.stderr, flush=True,
         )
+        if checkpoint:
+            from srbd_horizon_tpu.runtime.checkpoint import save_pytree
+
+            save_pytree(checkpoint, {
+                "st": st, "params": params, "wpg_state": wpg_state,
+                "window": jnp.asarray(w + 1, jnp.int32),
+            })
 
     wall = time.perf_counter() - t_start
     wt = np.asarray(windows) * 1e3
@@ -114,6 +157,7 @@ def main_constrained(batch=256, ticks=1000, window=100,
         "metric": "constrained_soak_ticks",
         "ticks": ticks,
         "batch": B,
+        "resumed_from_window": w_start,
         "solves": ticks * B,
         "wall_s": round(wall, 1),
         "solves_per_s": round(ticks * B / wall, 1),
@@ -126,7 +170,7 @@ def main_constrained(batch=256, ticks=1000, window=100,
     return 0 if ok else 1
 
 
-def main(batch=512, ticks=1000, window=100):
+def main(batch=512, ticks=1000, window=100, checkpoint=None, resume=False):
     window = max(1, min(window, ticks))
     from srbd_horizon_tpu.config import DDPOptions, SRBDConfig
     from srbd_horizon_tpu.models.kangaroo import kangaroo_line_feet
@@ -161,12 +205,29 @@ def main(batch=512, ticks=1000, window=100):
     carries, out = vtick(carries, inp)
     float(jnp.sum(out.x))  # compile + drain
 
+    # crash-resume: restore the fleet carry (sim state + plan + params +
+    # gait phase) after the compile-warmup tick — see main_constrained
+    w_start = 0
+    if checkpoint and resume:
+        from srbd_horizon_tpu.runtime.checkpoint import load_pytree
+
+        template = {"carries": carries, "window": jnp.asarray(0, jnp.int32)}
+        try:
+            snap = load_pytree(checkpoint, template)
+            carries = snap["carries"]
+            w_start = int(snap["window"])
+            print(f"resumed from {checkpoint} at window {w_start}",
+                  file=sys.stderr, flush=True)
+        except FileNotFoundError:
+            print(f"no checkpoint at {checkpoint}; starting fresh",
+                  file=sys.stderr, flush=True)
+
     z_nom = float(prob.initial_state[2])
     windows = []
     z_lo, z_hi, defect_hi, res_hi = np.inf, -np.inf, 0.0, 0.0
     ok = True
     t_start = time.perf_counter()
-    for w in range(ticks // window):
+    for w in range(w_start, ticks // window):
         t0 = time.perf_counter()
         for _ in range(window):
             carries, out = vtick(carries, inp)
@@ -188,6 +249,13 @@ def main(batch=512, ticks=1000, window=100):
         print(f"window {w:3d}: {dt_w*1e3:7.2f} ms/tick  z=[{z.min():.3f},"
               f"{z.max():.3f}] defect={defect:.1e} iters={iters:.2f} "
               f"{'ok' if w_ok else 'FAIL'}", file=sys.stderr, flush=True)
+        if checkpoint:
+            from srbd_horizon_tpu.runtime.checkpoint import save_pytree
+
+            save_pytree(checkpoint, {
+                "carries": carries,
+                "window": jnp.asarray(w + 1, jnp.int32),
+            })
 
     wall = time.perf_counter() - t_start
     wt = np.asarray(windows) * 1e3
@@ -195,6 +263,7 @@ def main(batch=512, ticks=1000, window=100):
         "metric": "soak_ticks",
         "ticks": ticks,
         "batch": B,
+        "resumed_from_window": w_start,
         "solves": ticks * B,
         "wall_s": round(wall, 1),
         "solves_per_s": round(ticks * B / wall, 1),
@@ -213,10 +282,28 @@ def main(batch=512, ticks=1000, window=100):
 
 
 if __name__ == "__main__":
-    argv = [a for a in sys.argv[1:] if a not in ("--cpu", "--constrained")]
-    if "--cpu" in sys.argv:
+    argv = sys.argv[1:]
+    checkpoint = None
+    if "--checkpoint" in argv:
+        i = argv.index("--checkpoint")
+        checkpoint = argv[i + 1]
+        argv = argv[:i] + argv[i + 2:]
+    window = 100
+    if "--window" in argv:
+        i = argv.index("--window")
+        window = int(argv[i + 1])
+        argv = argv[:i] + argv[i + 2:]
+    resume = "--resume" in argv
+    if "--cpu" in argv:
         jax.config.update("jax_platforms", "cpu")
-    constrained = "--constrained" in sys.argv
+    constrained = "--constrained" in argv
+    argv = [a for a in argv
+            if a not in ("--cpu", "--constrained", "--resume")]
     b = int(argv[0]) if len(argv) > 0 else (256 if constrained else 512)
     t = int(argv[1]) if len(argv) > 1 else 1000
-    sys.exit(main_constrained(b, t) if constrained else main(b, t))
+    sys.exit(
+        main_constrained(b, t, window=window, checkpoint=checkpoint,
+                         resume=resume)
+        if constrained
+        else main(b, t, window=window, checkpoint=checkpoint, resume=resume)
+    )
