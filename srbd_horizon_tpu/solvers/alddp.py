@@ -60,6 +60,65 @@ class ALOptions:
     tol: float = 1e-6              # target max constraint violation
 
 
+class PhasePrior(NamedTuple):
+    """Gait-phase-indexed AL multiplier priors for periodic serving.
+
+    Under the receding horizon the ONLY multiplier rows that
+    `shift_warmstart` cannot align are the freshly injected tail: after
+    the roll, stage row ns-1 holds the schedule the WPG wrote at the
+    PREVIOUS tick's terminal node, and the terminal multipliers face a
+    brand-new terminal write — both start one λ-update behind (the
+    round-4 violation floor; BENCH_NOTES.md). The gait schedule is
+    periodic (cycle index = step_counter % (2·step_nodes), reference
+    wpg.py:71), so the converged tail multiplier for each phase is
+    LEARNABLE: these tables hold an EMA of the post-solve tail
+    multipliers per cycle phase, and the serving tick seeds the injected
+    rows from them instead of repeating the stale row. Pure warm-start
+    data — a wrong prior costs iterations, never correctness (the AL
+    updates re-center it).
+
+    Shapes (unbatched; serving carries a leading fleet axis):
+      lam_tail  (P, n_eq)   prior for stage row ns-1, indexed by the
+                            phase of the schedule AT that row
+      lam_T     (P, n_eq_T) prior for the terminal multipliers, indexed
+                            by the phase of the terminal write
+      seen_*    (P,)        entry valid (first visit copies, later
+                            visits EMA-blend)
+    """
+
+    lam_tail: jnp.ndarray
+    lam_T: jnp.ndarray
+    seen_tail: jnp.ndarray
+    seen_T: jnp.ndarray
+
+
+class FullPhasePrior(NamedTuple):
+    """Per-phase tables of the FULL stage-equality multiplier field.
+
+    Why the tail-only PhasePrior is not enough (round-5 probe,
+    tools/diag_cz_nodes.py): under rolling, the multiplier that sits at
+    node n entered the horizon at the terminal injection (ns-1-n) ticks
+    ago and has received exactly one λ-update per node it traversed —
+    so LATE nodes carry 1–5-update-old multipliers, and the steady
+    violation floor concentrates there (nodes 11–18), across ALL
+    contacts and phases. The gait problem is PERIODIC, so λ*(node,
+    phase) is a fixed field: give every (node, phase) pair its own
+    table entry and write the post-solve field back each tick — each
+    entry then accumulates one λ-update per CYCLE, converging across
+    cycles to λ*(·, p) instead of restarting from the tail seed on
+    every horizon transit. Pure warm-start data (AL updates re-center
+    within a tick after transients); memory is (P, ns, n_eq) per member
+    — ~34 KB for the biped serving problem.
+
+    Inequality multipliers (cones/boxes) stay rolled: they are not the
+    binding family (same probe) and their tables would be 10× the size.
+    """
+
+    lam_eq: jnp.ndarray      # (P, ns, n_eq)
+    lam_eq_T: jnp.ndarray    # (P, n_eq_T)
+    seen: jnp.ndarray        # (P,) bool
+
+
 class ALState(NamedTuple):
     sol: DDPSolution
     lam_eq: jnp.ndarray      # (ns, n_eq) stage equality multipliers
@@ -545,8 +604,105 @@ class ALDDP:
             mu_u_ub=roll(st.mu_u_ub), mu_u_lb=roll(st.mu_u_lb),
         )
 
+    # ---------- gait-phase multiplier priors ----------
+
+    def init_phase_prior(self, period: int, dtype=jnp.float32) -> PhasePrior:
+        """Empty per-phase tail-multiplier tables (see PhasePrior). For a
+        fleet, build per-member tables: vmap over a dummy batch axis (each
+        member may sit at a different gait phase)."""
+        n_eq, n_eq_T, _ = self._probe_sizes()
+        return PhasePrior(
+            lam_tail=jnp.zeros((period, n_eq), dtype),
+            lam_T=jnp.zeros((period, n_eq_T), dtype),
+            seen_tail=jnp.zeros((period,), bool),
+            seen_T=jnp.zeros((period,), bool),
+        )
+
+    def _seed_from_prior(self, st: ALState, prior: PhasePrior,
+                         phase) -> ALState:
+        """Replace the injected tail multipliers with the phase table's
+        entries (where the phase has been visited). `phase` is the cycle
+        index the WPG used for THIS tick's terminal write
+        (step_counter % period, read BEFORE advance); the stage tail row
+        holds the PREVIOUS tick's terminal write → phase−1."""
+        P = prior.lam_tail.shape[0]
+        tail_ph = (phase - 1) % P
+        lam_tail = jnp.where(
+            prior.seen_tail[tail_ph], prior.lam_tail[tail_ph], st.lam_eq[-1]
+        )
+        lam_T = jnp.where(prior.seen_T[phase], prior.lam_T[phase],
+                          st.lam_eq_T)
+        return st._replace(
+            lam_eq=st.lam_eq.at[-1].set(lam_tail), lam_eq_T=lam_T
+        )
+
+    def _update_prior(self, prior: PhasePrior, st: ALState, phase,
+                      ema: float) -> PhasePrior:
+        """EMA the post-solve tail multipliers into the phase tables
+        (first visit copies)."""
+        P = prior.lam_tail.shape[0]
+        tail_ph = (phase - 1) % P
+        new_tail = jnp.where(
+            prior.seen_tail[tail_ph],
+            (1.0 - ema) * prior.lam_tail[tail_ph] + ema * st.lam_eq[-1],
+            st.lam_eq[-1],
+        )
+        new_T = jnp.where(
+            prior.seen_T[phase],
+            (1.0 - ema) * prior.lam_T[phase] + ema * st.lam_eq_T,
+            st.lam_eq_T,
+        )
+        return PhasePrior(
+            lam_tail=prior.lam_tail.at[tail_ph].set(new_tail),
+            lam_T=prior.lam_T.at[phase].set(new_T),
+            seen_tail=prior.seen_tail.at[tail_ph].set(True),
+            seen_T=prior.seen_T.at[phase].set(True),
+        )
+
+    def init_full_phase_prior(self, period: int,
+                              dtype=jnp.float32) -> FullPhasePrior:
+        """Empty full-field phase tables (see FullPhasePrior). For a
+        fleet, vmap over a dummy batch axis."""
+        n_eq, n_eq_T, _ = self._probe_sizes()
+        return FullPhasePrior(
+            lam_eq=jnp.zeros((period, self.ocp.ns, n_eq), dtype),
+            lam_eq_T=jnp.zeros((period, n_eq_T), dtype),
+            seen=jnp.zeros((period,), bool),
+        )
+
+    def _seed_full_prior(self, st: ALState, prior: FullPhasePrior,
+                         phase) -> ALState:
+        """Replace the whole stage/terminal equality multiplier field
+        with the phase-p table entry (once visited; rolled field until
+        then). `phase` = the cycle index of THIS tick's WPG terminal
+        write."""
+        ok = prior.seen[phase]
+        return st._replace(
+            lam_eq=jnp.where(ok, prior.lam_eq[phase], st.lam_eq),
+            lam_eq_T=jnp.where(ok, prior.lam_eq_T[phase], st.lam_eq_T),
+        )
+
+    def _update_full_prior(self, prior: FullPhasePrior, st: ALState,
+                           phase, ema: float) -> FullPhasePrior:
+        new_eq = jnp.where(
+            prior.seen[phase],
+            (1.0 - ema) * prior.lam_eq[phase] + ema * st.lam_eq,
+            st.lam_eq,
+        )
+        new_T = jnp.where(
+            prior.seen[phase],
+            (1.0 - ema) * prior.lam_eq_T[phase] + ema * st.lam_eq_T,
+            st.lam_eq_T,
+        )
+        return FullPhasePrior(
+            lam_eq=prior.lam_eq.at[phase].set(new_eq),
+            lam_eq_T=prior.lam_eq_T.at[phase].set(new_T),
+            seen=prior.seen.at[phase].set(True),
+        )
+
     def serving_tick_batch(self, st: ALState, x0, params,
-                           outers: int = 2) -> ALState:
+                           outers: int = 2, prior: PhasePrior = None,
+                           phase=None, prior_ema: float = 0.5):
         """THE production constrained fleet-serving tick (round-4 config,
         BENCH_NOTES.md): shifted warm start (trajectory + node-indexed
         multipliers roll with the receding horizon) followed by `outers`
@@ -556,10 +712,29 @@ class ALDDP:
         discontinuity (measured 18,174 solve/s at 9.5e-4 scaled
         violation vs 12,827 at 1.5e-3 for one 3-iteration outer, B=256
         TPU v5e). Callers advance the WPG/params first, then pass the
-        new x0 (node-1 pin) here."""
+        new x0 (node-1 pin) here.
+
+        With `prior` (+ per-member `phase`, the cycle index of this
+        tick's WPG terminal write): seed multipliers from the gait-phase
+        tables before solving and EMA the post-solve values back
+        afterwards — returns (ALState, prior). A `PhasePrior` seeds only
+        the injected tail rows; a `FullPhasePrior` replaces the whole
+        equality-multiplier field (the round-5 serving config — each
+        (node, phase) entry converges across gait cycles). Without a
+        prior, returns the ALState alone (round-4 behavior)."""
         st = jax.vmap(self.shift_warmstart)(st)
+        full = isinstance(prior, FullPhasePrior)
+        if prior is not None:
+            seed = self._seed_full_prior if full else self._seed_from_prior
+            st = jax.vmap(seed)(st, prior, phase)
         for _ in range(outers):
             st = self.solve_online_batch(st, x0, params)
+        if prior is not None:
+            upd = self._update_full_prior if full else self._update_prior
+            prior = jax.vmap(upd, in_axes=(0, 0, 0, None))(
+                prior, st, phase, prior_ema
+            )
+            return st, prior
         return st
 
     def solve_online_batch(self, st: ALState, x0, params) -> ALState:

@@ -29,6 +29,15 @@ Usage: python tools/bench_isrbd.py [batch] [ticks] [--dense] [--no-ucols]
   --chunk N   cache-blocked execution: run the fleet tick in N-member
               chunks via runtime.chunked.chunk_map (restores the
               small-batch cache-resident rate at large B)
+  --prior [tail|full]
+              gait-phase-indexed AL multiplier priors. "tail"
+              (ALDDP.PhasePrior) seeds only the freshly injected tail
+              multipliers from per-phase EMA tables; "full"
+              (ALDDP.FullPhasePrior) replaces the whole equality-
+              multiplier field — each (node, phase) entry converges
+              across gait cycles. The warmup runs one extra gait cycle
+              to populate the tables.
+  --cpu       force the CPU backend (fast local A/Bs)
 """
 
 import json
@@ -45,7 +54,8 @@ import jax.numpy as jnp
 def measure(batch: int = 1024, n_ticks: int = 30, dense: bool = False,
             no_ucols: bool = False, sync: bool = False,
             chunk: int = 0, shift: bool = False,
-            online_iters: int = 5, outers: int = 1) -> dict:
+            online_iters: int = 5, outers: int = 1,
+            prior: str = "") -> dict:
     """Run the constrained fleet benchmark; returns the result dict
     (importable — bench.py embeds this as its `constrained` field)."""
     from srbd_horizon_tpu.config import SRBDConfig
@@ -101,8 +111,29 @@ def measure(batch: int = 1024, n_ticks: int = 30, dense: bool = False,
     seed_viol = float(jnp.max(st.viol))
 
     wpg = WalkingPatternGenerator.build(0.0, ns, dtype=dtype)
+    period = 2 * wpg.step_nodes
+    # --prior tail|full: gait-phase-indexed multiplier priors
+    # (ALDDP.PhasePrior / FullPhasePrior). "tail" seeds only the
+    # injected tail rows; "full" replaces the whole equality-multiplier
+    # field from per-phase tables (each (node, phase) entry converges
+    # across gait cycles — the round-5 serving config; see the
+    # FullPhasePrior docstring for why tail-only is not enough).
+    if prior == "full":
+        seed_fn = online._seed_full_prior
+        upd_fn = online._update_full_prior
+        mk_prior = online.init_full_phase_prior
+        prior_ema = 1.0
+    elif prior:
+        seed_fn = online._seed_from_prior
+        upd_fn = online._update_prior
+        mk_prior = online.init_phase_prior
+        prior_ema = 0.5
+    else:
+        mk_prior = online.init_phase_prior  # carried but unused
 
-    def tick(st, params, wpg_state, action, rdot_ref):
+    def tick(st, params, wpg_state, action, rdot_ref, pr):
+        # cycle phase of THIS tick's terminal write (read before advance)
+        phase = wpg_state.step_counter % period
         p1, w1 = jax.vmap(
             lambda p, s, a: wpg.advance(p, s, a)
         )(params, wpg_state, action)
@@ -112,6 +143,8 @@ def measure(batch: int = 1024, n_ticks: int = 30, dense: bool = False,
             # roll trajectory + multipliers one node forward, aligning
             # the warm start with the shifted schedule (--shift A/B)
             st = jax.vmap(online.shift_warmstart)(st)
+        if prior:
+            st = jax.vmap(seed_fn)(st, pr, phase)
         # --outers N: N frozen-penalty outer iterations per tick (each =
         # inner solve + multiplier update). Two cheap outers beat one
         # deep one on the touchdown-transient spikes: the second
@@ -119,30 +152,51 @@ def measure(batch: int = 1024, n_ticks: int = 30, dense: bool = False,
         # discontinuity (CPU A/B: 1×2 → max 6.0e-3; 2×1 → 1.91e-3).
         for _ in range(outers):
             st = online.solve_online_batch(st, x0, p1)
-        return st, p1, w1
+        if prior:
+            pr = jax.vmap(
+                upd_fn, in_axes=(0, 0, 0, None)
+            )(pr, st, phase, prior_ema)
+        return st, p1, w1, pr
 
     if chunk:
         from srbd_horizon_tpu.runtime.chunked import chunk_map
 
         # action/rdot_ref are fleet-batched too, so the whole tick chunks
         tick = chunk_map(tick, chunk)
-    tick_j = jax.jit(tick, donate_argnums=(0, 1, 2))
+    tick_j = jax.jit(tick, donate_argnums=(0, 1, 2, 5))
 
     wpg_state = jax.vmap(lambda _: wpg.init_state())(jnp.arange(B))
     action = jnp.ones((B,), jnp.int32)
     rdot_ref = jnp.tile(jnp.array([[0.1, 0.0, 0.0]], dtype), (B, 1))
+    # per-member phase tables (members may sit at different gait phases)
+    pr = jax.vmap(lambda _: mk_prior(period, dtype))(jnp.arange(B))
 
-    # warmup/compile
-    st, params, wpg_state = tick_j(st, params, wpg_state, action, rdot_ref)
+    # warmup/compile. With --prior, also run one full gait cycle so the
+    # phase tables are populated before the measured window (the prior
+    # only starts paying once every phase has been visited).
+    st, params, wpg_state, pr = tick_j(
+        st, params, wpg_state, action, rdot_ref, pr
+    )
     jax.block_until_ready(st.viol)
+    if prior:
+        for _ in range(period):
+            st, params, wpg_state, pr = tick_j(
+                st, params, wpg_state, action, rdot_ref, pr
+            )
+        jax.block_until_ready(st.viol)
 
+    # device-side running max over the window (tiny chained op — no host
+    # sync): the touchdown spike lands at specific gait phases, so the
+    # final tick's violation alone under-reports the envelope
+    viol_hi = jnp.zeros((), dtype)
     lat_ms = []
     t0 = time.perf_counter()
     for _ in range(n_ticks):
         t1 = time.perf_counter()
-        st, params, wpg_state = tick_j(
-            st, params, wpg_state, action, rdot_ref
+        st, params, wpg_state, pr = tick_j(
+            st, params, wpg_state, action, rdot_ref, pr
         )
+        viol_hi = jnp.maximum(viol_hi, jnp.max(st.viol))
         if sync:
             jax.block_until_ready(st.viol)
             lat_ms.append(1e3 * (time.perf_counter() - t1))
@@ -150,6 +204,7 @@ def measure(batch: int = 1024, n_ticks: int = 30, dense: bool = False,
     dt_s = (time.perf_counter() - t0) / n_ticks
 
     viol_max = float(jnp.max(st.viol))
+    window_viol_max = float(viol_hi)
     out = {
         "metric": "isrbd_constrained_solves_per_s",
         "value": round(B / dt_s, 1),
@@ -158,6 +213,7 @@ def measure(batch: int = 1024, n_ticks: int = 30, dense: bool = False,
         "tick_ms": round(1e3 * dt_s, 2),
         "seed_viol_max": seed_viol,
         "final_viol_max": viol_max,
+        "window_viol_max": window_viol_max,
         "finite": bool(jnp.all(jnp.isfinite(st.sol.X))),
         "dtype": "float32",
         "inner": "dense" if dense else ("sparse_no_ucols" if no_ucols else "sparse"),
@@ -165,6 +221,7 @@ def measure(batch: int = 1024, n_ticks: int = 30, dense: bool = False,
         "shift_warmstart": shift,
         "online_iters": online_iters,
         "outers": outers,
+        "phase_prior": prior,
     }
     if sync:
         import numpy as np
@@ -172,11 +229,38 @@ def measure(batch: int = 1024, n_ticks: int = 30, dense: bool = False,
         out["timing"] = "per_tick_sync"
         out["p50_ms"] = round(float(np.percentile(lat_ms, 50)), 2)
         out["p99_ms"] = round(float(np.percentile(lat_ms, 99)), 2)
-        # gate on p50, same rationale as bench.py: every sample pays one
-        # tunnel round-trip and occasional multi-RTT network spikes land
-        # in the p99 (measured p50 44 ms stable while p99 swings
-        # 50-150 ms run-to-run); an on-host deployment pays neither
-        out["realtime_ok"] = out["p50_ms"] <= 100.0
+        # DEVICE-side latency decomposition (same methodology as
+        # bench.py): paired window differencing — time a chained
+        # dispatch of W2 ticks and of W1 ticks (each pays one readback),
+        # difference them so the tunnel RTT and readback cancel.
+        w1, w2, reps = 2, 8, 12
+        diffs = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            for _ in range(w1):
+                st, params, wpg_state = tick_j(
+                    st, params, wpg_state, action, rdot_ref
+                )
+            jax.block_until_ready(st.viol)
+            t1 = time.perf_counter()
+            for _ in range(w2):
+                st, params, wpg_state = tick_j(
+                    st, params, wpg_state, action, rdot_ref
+                )
+            jax.block_until_ready(st.viol)
+            t2 = time.perf_counter()
+            diffs.append(((t2 - t1) - (t1 - t0)) / (w2 - w1))
+        d = np.asarray(diffs) * 1e3
+        out["device_p50_ms"] = round(float(np.percentile(d, 50)), 2)
+        out["device_p99_ms"] = round(float(np.percentile(d, 99)), 2)
+        # gate on the e2e p50 AND the device p99 (bench.py rationale):
+        # every e2e sample pays one tunnel round-trip and multi-RTT
+        # network spikes land in the e2e p99 (p50 44 ms stable while e2e
+        # p99 swings 50-150 ms run-to-run) — but a genuine on-device
+        # tail regression must fail the gate.
+        out["realtime_ok"] = bool(
+            out["p50_ms"] <= 100.0 and out["device_p99_ms"] <= 100.0
+        )
     else:
         out["timing"] = "chained_dispatch"
     return out
@@ -199,18 +283,30 @@ def main():
         i = argv.index("--outers")
         outers = int(argv[i + 1])
         argv = argv[:i] + argv[i + 2:]
-    flags = ("--dense", "--no-ucols", "--sync", "--shift")
+    prior = ""
+    if "--prior" in argv:
+        i = argv.index("--prior")
+        # optional mode operand: --prior [tail|full] (bare = tail)
+        if i + 1 < len(argv) and argv[i + 1] in ("tail", "full"):
+            prior = argv[i + 1]
+            argv = argv[:i] + argv[i + 2:]
+        else:
+            prior = "tail"
+            argv = argv[:i] + argv[i + 1:]
+    flags = ("--dense", "--no-ucols", "--sync", "--shift", "--cpu")
     args = [a for a in argv if a not in flags]
     dense = "--dense" in argv
     no_ucols = "--no-ucols" in argv
     sync = "--sync" in argv
     shift = "--shift" in argv
+    if "--cpu" in argv:
+        jax.config.update("jax_platforms", "cpu")
     batch = int(args[0]) if len(args) > 0 else 1024
     n_ticks = int(args[1]) if len(args) > 1 else 30
     print(json.dumps(measure(
         batch, n_ticks, dense=dense, no_ucols=no_ucols, sync=sync,
         chunk=chunk, shift=shift, online_iters=online_iters,
-        outers=outers)))
+        outers=outers, prior=prior)))
 
 
 if __name__ == "__main__":
