@@ -77,6 +77,7 @@ def build_isrbd_problem(
     dtype=None,
     srbd_nodes: int = 10,
     lipzone_start: int = 5,
+    cz_rho_weight: float = 400.0,
 ) -> ISRBDProblem:
     dtype = dtype or cfg.dtype
     ns, nc, cm = cfg.ns, cfg.nc, cfg.contact_model
@@ -227,14 +228,24 @@ def build_isrbd_problem(
     # scaled violation 2.1e-2 → 2.0e-3; w beyond ~900 on any row
     # destabilizes (multiplier windup — the 5-iteration inner solve can
     # no longer track the λ += ρw·h update).
+    #
+    # `cz_rho_weight` (default 400 — the round-4 windup-safe value)
+    # overrides the cz-row stiffness: with the gait-phase multiplier
+    # PRIOR (solvers/alddp.py::FullPhasePrior — λ is overwritten from
+    # per-phase tables each tick instead of integrated through the
+    # windup-prone λ += ρw·h), the windup ceiling disappears and
+    # serving configs run cz at w=1600-3200 (round-5 battery,
+    # tools/diag_prior.py: 1-outer serving at czw=1600 + prior holds
+    # 1.39e-3 over 300 ticks vs 1.93e-3 for the 2-outer w=400 config;
+    # WITHOUT the prior the same stiffness floors at 3.5e-3).
     eq_rho_w = np.ones(n_relvel + nc + 6 + 3 + 4)
     eq_rho_w[:n_relvel] = 100.0
-    eq_rho_w[n_relvel : n_relvel + nc] = 400.0
+    eq_rho_w[n_relvel : n_relvel + nc] = cz_rho_weight
     eq_rho_w[n_relvel + nc : n_relvel + nc + 9] = 9.0
     eq_rho_w[n_relvel + nc + 9 :] = 100.0
     eq_rho_w_T = np.ones(n_relvel + nc + 4)
     eq_rho_w_T[:n_relvel] = 100.0
-    eq_rho_w_T[n_relvel : n_relvel + nc] = 400.0
+    eq_rho_w_T[n_relvel : n_relvel + nc] = cz_rho_weight
     eq_rho_w_T[n_relvel + nc :] = 100.0
 
     # inequalities: friction cones (active!, isrbd:316-318)

@@ -37,6 +37,10 @@ Usage: python tools/bench_isrbd.py [batch] [ticks] [--dense] [--no-ucols]
               multiplier field — each (node, phase) entry converges
               across gait cycles. The warmup runs one extra gait cycle
               to populate the tables.
+  --czw W     contact-height (cz) AL stiffness override
+              (build_isrbd_problem cz_rho_weight; default 400 — the
+              round-4 windup-safe value; the round-5 prior configs run
+              1600-3200, see problems/isrbd.py)
   --cpu       force the CPU backend (fast local A/Bs)
 """
 
@@ -55,7 +59,7 @@ def measure(batch: int = 1024, n_ticks: int = 30, dense: bool = False,
             no_ucols: bool = False, sync: bool = False,
             chunk: int = 0, shift: bool = False,
             online_iters: int = 5, outers: int = 1,
-            prior: str = "") -> dict:
+            prior: str = "", cz_w: float = 400.0) -> dict:
     """Run the constrained fleet benchmark; returns the result dict
     (importable — bench.py embeds this as its `constrained` field)."""
     from srbd_horizon_tpu.config import SRBDConfig
@@ -67,7 +71,8 @@ def measure(batch: int = 1024, n_ticks: int = 30, dense: bool = False,
 
     dtype = jnp.float32
     cfg = SRBDConfig(dtype=dtype)
-    prob = build_isrbd_problem(cfg, kangaroo_line_feet())
+    prob = build_isrbd_problem(cfg, kangaroo_line_feet(),
+                               cz_rho_weight=cz_w)
     if dense:
         import dataclasses
 
@@ -171,15 +176,17 @@ def measure(batch: int = 1024, n_ticks: int = 30, dense: bool = False,
     # per-member phase tables (members may sit at different gait phases)
     pr = jax.vmap(lambda _: mk_prior(period, dtype))(jnp.arange(B))
 
-    # warmup/compile. With --prior, also run one full gait cycle so the
-    # phase tables are populated before the measured window (the prior
-    # only starts paying once every phase has been visited).
+    # warmup/compile. With --prior, also run three full gait cycles so
+    # the phase tables are populated AND converged before the measured
+    # window (each (node, phase) entry receives one λ-update per cycle;
+    # the cross-cycle iteration needs ~3 visits to settle — the same
+    # steady-state discipline as the CPU battery, tools/diag_prior.py).
     st, params, wpg_state, pr = tick_j(
         st, params, wpg_state, action, rdot_ref, pr
     )
     jax.block_until_ready(st.viol)
     if prior:
-        for _ in range(period):
+        for _ in range(3 * period):
             st, params, wpg_state, pr = tick_j(
                 st, params, wpg_state, action, rdot_ref, pr
             )
@@ -222,6 +229,7 @@ def measure(batch: int = 1024, n_ticks: int = 30, dense: bool = False,
         "online_iters": online_iters,
         "outers": outers,
         "phase_prior": prior,
+        "cz_rho_weight": cz_w,
     }
     if sync:
         import numpy as np
@@ -283,6 +291,11 @@ def main():
         i = argv.index("--outers")
         outers = int(argv[i + 1])
         argv = argv[:i] + argv[i + 2:]
+    cz_w = 400.0
+    if "--czw" in argv:
+        i = argv.index("--czw")
+        cz_w = float(argv[i + 1])
+        argv = argv[:i] + argv[i + 2:]
     prior = ""
     if "--prior" in argv:
         i = argv.index("--prior")
@@ -306,7 +319,7 @@ def main():
     print(json.dumps(measure(
         batch, n_ticks, dense=dense, no_ucols=no_ucols, sync=sync,
         chunk=chunk, shift=shift, online_iters=online_iters,
-        outers=outers, prior=prior)))
+        outers=outers, prior=prior, cz_w=cz_w)))
 
 
 if __name__ == "__main__":

@@ -1,0 +1,246 @@
+"""Sharded fleet-scaling benchmark — the shard_map serving path measured,
+not just correctness-checked.
+
+The whole point of replacing the reference's serial one-robot-per-process
+solve (reference ddp.py:101 — one C++ solve per tick) with a device mesh
+is the scaling number. This script runs the SAME serving ticks the
+unsharded benches run, but through `parallel.mesh.sharded_batched_tick`
+(unconstrained SRBD fleet) and `parallel.mesh.sharded_serving_tick`
+(constrained AL fleet) over whatever mesh exists:
+
+  - 1 real TPU chip  → a degenerate 1-device mesh: measures the pure
+    shard_map dispatch overhead vs the unsharded tick (gated ≤ 2% —
+    "sharding is free" is shown, not assumed);
+  - N devices (a TPU slice, or the 8-virtual-CPU test mesh via --cpu) →
+    per-device throughput + scaling efficiency vs the 1-device rate.
+
+Run unmodified on an N-chip slice the day one exists; bench.py embeds the
+1-device overhead number as its `sharded` block.
+
+Usage: python tools/bench_sharded.py [batch] [ticks] [--cpu]
+                                     [--constrained] [--json]
+Prints one JSON line:
+  {"metric": "sharded_scaling", "devices": N, "solves_per_s": ...,
+   "per_device_solves_per_s": ..., "unsharded_solves_per_s": ...,
+   "overhead_pct": ..., "scaling_efficiency": ...}
+"""
+
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _time_ticks(step, n_ticks, state, *args, drain):
+    """Chained-dispatch timing: dispatch n_ticks, one host read at the
+    end (steady-state serving throughput, same methodology as bench.py)."""
+    # warmup: compile + reach warm-started steady state
+    for _ in range(3):
+        state = step(state, *args)
+    drain(state)
+    t0 = time.perf_counter()
+    for _ in range(n_ticks):
+        state = step(state, *args)
+    drain(state)
+    return (time.perf_counter() - t0) / n_ticks, state
+
+
+def measure_unconstrained(batch: int, n_ticks: int) -> dict:
+    """SRBD fleet tick (bench.py's throughput workload): unsharded
+    `MPCLoop.tick_batch` vs the same tick under shard_map on the full
+    device mesh."""
+    from srbd_horizon_tpu.config import DDPOptions, SRBDConfig
+    from srbd_horizon_tpu.models.kangaroo import kangaroo_line_feet
+    from srbd_horizon_tpu.parallel.mesh import (
+        make_mesh, shard_batch, sharded_batched_tick,
+    )
+    from srbd_horizon_tpu.problems.srbd import build_srbd_problem
+    from srbd_horizon_tpu.runtime.loop import MPCLoop, TickInput
+    from srbd_horizon_tpu.solvers.msddp import MSDDP
+    from srbd_horizon_tpu.wpg import WalkingPatternGenerator
+
+    dtype = jnp.float32
+    cfg = SRBDConfig(ns=20, dtype=dtype)
+    prob = build_srbd_problem(cfg, kangaroo_line_feet())
+    solver = MSDDP(
+        prob.ocp,
+        DDPOptions(max_iters=5, alpha_converge_threshold=1e-12, beta=1e-3),
+    )
+    wpg = WalkingPatternGenerator.build(0.0, cfg.ns, dtype=dtype)
+    loop = MPCLoop(solver=solver, wpg=wpg,
+                   srbd_constants=prob.ocp.constants, shift_warmstart=True)
+
+    B = batch
+    x0 = jnp.tile(prob.initial_state[None], (B, 1))
+    x0 = x0 + 0.005 * jax.random.normal(jax.random.key(0), x0.shape, dtype)
+    carries = jax.vmap(loop.init)(x0)
+    # built BEFORE the unsharded timing: vtick donates its carry, whose
+    # x leaf aliases x0 (vmapped init passes it through)
+    mesh = make_mesh()
+    n_dev = len(mesh.devices.flat)
+    carries_s = shard_batch(mesh, jax.vmap(loop.init)(x0))
+    inp = jax.device_put(TickInput(
+        action=jnp.ones(B, jnp.int32),
+        rdot_ref=jnp.tile(jnp.array([0.2, 0.0, 0.0], dtype)[None], (B, 1)),
+        w_ref=jnp.zeros((B, 3), dtype),
+    ))
+
+    def drain_unsharded(state):
+        float(jnp.sum(state[1].defect_norm))
+
+    # --- unsharded baseline ---
+    vtick = jax.jit(loop.tick_batch, donate_argnums=(0,))
+
+    def step_unsharded(state, inp):
+        carries, _ = state
+        return vtick(carries, inp)
+
+    dt_u, state_u = _time_ticks(
+        step_unsharded, n_ticks, (carries, None), inp, drain=drain_unsharded
+    )
+    finite = bool(np.all(np.isfinite(np.asarray(state_u[1].x))))
+
+    # --- sharded over the full mesh ---
+    tick_s = sharded_batched_tick(loop, mesh)
+    inp_s = shard_batch(mesh, inp)
+
+    def drain_sharded(state):
+        float(jnp.sum(state[2]["max_defect"]))
+
+    def step_sharded(state, inp_s):
+        carries, _, _ = state
+        return tick_s(carries, inp_s)
+
+    dt_s, state_s = _time_ticks(
+        step_sharded, n_ticks, (carries_s, None, {"max_defect": jnp.zeros(())}),
+        inp_s, drain=drain_sharded,
+    )
+    finite = finite and bool(
+        np.all(np.isfinite(np.asarray(state_s[2]["max_defect"])))
+    )
+
+    return _report("srbd_fleet", B, n_dev, dt_u, dt_s, finite)
+
+
+def measure_constrained(batch: int, n_ticks: int) -> dict:
+    """Constrained AL serving tick (tools/bench_isrbd.py's workload,
+    static schedule): unsharded `serving_tick_batch` vs
+    `sharded_serving_tick` on the full device mesh."""
+    from srbd_horizon_tpu.config import SRBDConfig
+    from srbd_horizon_tpu.models.kangaroo import kangaroo_line_feet
+    from srbd_horizon_tpu.parallel.mesh import (
+        make_mesh, replicate_params, shard_batch, sharded_serving_tick,
+    )
+    from srbd_horizon_tpu.problems.isrbd import build_isrbd_problem
+    from srbd_horizon_tpu.solvers.alddp import ALDDP
+    from srbd_horizon_tpu.solvers.options import al_serving_options
+
+    dtype = jnp.float32
+    cfg = SRBDConfig(dtype=dtype)
+    prob = build_isrbd_problem(cfg, kangaroo_line_feet())
+    ddp_off, al_off = al_serving_options(max_iters=15)
+    offline = ALDDP(prob.ocp, ddp_opts=ddp_off, al_opts=al_off)
+    ddp_on, al_on = al_serving_options(max_iters=1)
+    online = ALDDP(prob.ocp, ddp_opts=ddp_on, al_opts=al_on)
+
+    B, ns = batch, prob.ocp.ns
+    x0 = jnp.tile(prob.initial_state[None], (B, 1))
+    x0 = x0 + 0.01 * jax.random.normal(jax.random.key(11), x0.shape, dtype)
+    U0 = jnp.tile(prob.static_input[None], (ns, 1))
+    params = replicate_params(prob.ocp.params, B)
+    st0 = jax.jit(offline.solve_batch)(
+        jax.vmap(lambda x: offline.init(x, U0=U0))(x0), x0, params
+    )
+    jax.block_until_ready(st0.viol)
+
+    def drain(state):
+        float(jnp.sum(state.viol))
+
+    # --- unsharded baseline ---
+    tick_u = jax.jit(
+        lambda st: online.serving_tick_batch(st, st.sol.X[:, 1], params,
+                                             outers=2)
+    )
+    dt_u, st_u = _time_ticks(lambda st: tick_u(st), n_ticks, st0, drain=drain)
+    finite = bool(np.all(np.isfinite(np.asarray(st_u.sol.X))))
+
+    # --- sharded over the full mesh ---
+    mesh = make_mesh()
+    n_dev = len(mesh.devices.flat)
+    tick_s = sharded_serving_tick(online, mesh, outers=2)
+    st_s = shard_batch(mesh, st0)
+    params_s = shard_batch(mesh, params)
+
+    def step_sharded(state):
+        st, _ = state
+        return tick_s(st, st.sol.X[:, 1], params_s)
+
+    def drain_sharded(state):
+        float(jnp.sum(state[0].viol))
+
+    dt_s, state_s = _time_ticks(
+        step_sharded, n_ticks, (st_s, None), drain=drain_sharded
+    )
+    finite = finite and bool(
+        np.all(np.isfinite(np.asarray(state_s[1]["max_viol"])))
+    )
+
+    return _report("isrbd_constrained", B, n_dev, dt_u, dt_s, finite)
+
+
+def _report(workload, B, n_dev, dt_u, dt_s, finite) -> dict:
+    sps_u = B / dt_u
+    sps_s = B / dt_s
+    # 1-device mesh: overhead of shard_map itself (gate ≤ 2%).
+    # N devices: scaling efficiency vs a perfect N× of the per-device
+    # share of the unsharded rate.
+    overhead_pct = (dt_s / dt_u - 1.0) * 100.0
+    return {
+        "metric": "sharded_scaling",
+        "workload": workload,
+        "batch": B,
+        "devices": n_dev,
+        "solves_per_s": round(sps_s, 1),
+        "per_device_solves_per_s": round(sps_s / n_dev, 1),
+        "unsharded_solves_per_s": round(sps_u, 1),
+        "tick_ms": round(dt_s * 1e3, 2),
+        "overhead_pct": round(overhead_pct, 2),
+        # at n_dev == 1 this is just 1/(1+overhead); at N devices it is
+        # the end-to-end speedup vs the single-mesh-arrangement baseline
+        "scaling_efficiency": round(sps_s / sps_u, 3),
+        "overhead_ok": bool(n_dev > 1 or overhead_pct <= 2.0),
+        "finite": finite,
+        "device": str(jax.devices()[0]),
+    }
+
+
+def main():
+    argv = sys.argv[1:]
+    if "--cpu" in argv:
+        # 8-virtual-device CPU mesh (the pod-code test idiom, SURVEY §4).
+        # XLA_FLAGS must land before the CPU client exists; the platform
+        # override must come AFTER importing jax (axon sitecustomize).
+        import os
+
+        flags = os.environ.get("XLA_FLAGS", "")
+        if "xla_force_host_platform_device_count" not in flags:
+            os.environ["XLA_FLAGS"] = (
+                flags + " --xla_force_host_platform_device_count=8"
+            ).strip()
+        jax.config.update("jax_platforms", "cpu")
+    constrained = "--constrained" in argv
+    args = [a for a in argv if not a.startswith("--")]
+    batch = int(args[0]) if args else 1024
+    n_ticks = int(args[1]) if len(args) > 1 else 20
+    fn = measure_constrained if constrained else measure_unconstrained
+    print(json.dumps(fn(batch, n_ticks)))
+
+
+if __name__ == "__main__":
+    main()
