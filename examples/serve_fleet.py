@@ -45,6 +45,15 @@ def main():
                     help="serve the full-NLP (AL/isrbd) path: active "
                          "friction cones, force boxes, hybrid dynamics — "
                          "the round-4 2-outer RTI serving tick")
+    ap.add_argument("--prior", action="store_true",
+                    help="constrained only: the round-5 serving config — "
+                         "gait-phase multiplier tables "
+                         "(ALDDP.FullPhasePrior) + stiff cz rows "
+                         "(--czw), ONE monitored outer per tick")
+    ap.add_argument("--czw", type=float, default=None,
+                    help="contact-height AL stiffness "
+                         "(build_isrbd_problem cz_rho_weight; default "
+                         "400, or 3200 with --prior)")
     ap.add_argument("--checkpoint", type=str, default=None,
                     help="periodically snapshot the fleet state (solver "
                          "plan, multipliers, params, gait phase, tick) to "
@@ -104,13 +113,21 @@ def main():
         from srbd_horizon_tpu.solvers.alddp import ALDDP
         from srbd_horizon_tpu.solvers.options import al_serving_options
 
-        prob = build_isrbd_problem(cfg, kangaroo_line_feet())
+        cz_w = args.czw if args.czw is not None else (
+            3200.0 if args.prior else 400.0
+        )
+        prob = build_isrbd_problem(cfg, kangaroo_line_feet(),
+                                   cz_rho_weight=cz_w)
         ddp_off, al_off = al_serving_options(max_iters=15)
         offline = ALDDP(prob.ocp, ddp_opts=ddp_off, al_opts=al_off)
         ddp_on, al_on = al_serving_options(max_iters=1)
         online = ALDDP(prob.ocp, ddp_opts=ddp_on, al_opts=al_on)
         monitor = HealthMonitor()
         wpg = WalkingPatternGenerator.build(0.0, cfg.ns, dtype=dtype)
+        # NOTE: named gait_period, not period — the serving loop below
+        # rebinds `period` to the wall-clock tick period (1/hz) and the
+        # jitted closure captures by name
+        gait_period = 2 * wpg.step_nodes
 
         x0 = jnp.tile(prob.initial_state[None], (B, 1))
         U0 = jnp.tile(prob.static_input[None], (prob.ocp.ns, 1))
@@ -119,8 +136,12 @@ def main():
             prob.ocp.params,
         )
         wpg_state = jax.vmap(lambda _: wpg.init_state())(jnp.arange(B))
-        # crash-resume: restore the fleet (plan + AL multipliers + params
-        # + gait phase + tick) instead of re-running the offline seed
+        prior_tables = jax.vmap(
+            lambda _: online.init_full_phase_prior(gait_period, dtype)
+        )(jnp.arange(B))
+        # crash-resume: restore the fleet (plan + AL multipliers + phase
+        # tables + params + gait phase + tick) instead of re-running the
+        # offline seed
         start_tick = 0
         al_state = None
         if args.checkpoint and args.resume:
@@ -131,12 +152,14 @@ def main():
                     lambda x: offline.init(x, U0=U0)
                 )(x0),
                 "params": params, "wpg_state": wpg_state,
+                "pr": prior_tables,
                 "tick": jnp.asarray(0, jnp.int32),
             }
             try:
                 snap = load_pytree(args.checkpoint, template)
-                al_state, params, wpg_state = (
-                    snap["al_state"], snap["params"], snap["wpg_state"]
+                al_state, params, wpg_state, prior_tables = (
+                    snap["al_state"], snap["params"], snap["wpg_state"],
+                    snap["pr"],
                 )
                 start_tick = int(snap["tick"])
                 print(f"resumed fleet from {args.checkpoint} at tick "
@@ -152,7 +175,8 @@ def main():
             )
 
         @jax.jit
-        def ctick(st, params, wpg_state, inp):
+        def ctick(st, params, wpg_state, inp, pr):
+            phase = wpg_state.step_counter % gait_period
             p1, w1 = jax.vmap(
                 lambda p, s, a: wpg.advance(p, s, a)
             )(params, wpg_state, inp.action)
@@ -160,12 +184,33 @@ def main():
                 inp.rdot_ref[:, None, :]
             )
             x0n = st.sol.X[:, 1]
-            st = online.serving_tick_batch(st, x0n, p1, outers=1)
+            st = jax.vmap(online.shift_warmstart)(st)
+            if args.prior:
+                # round-5 config: table-seeded multipliers, ONE
+                # monitored outer (BENCH_NOTES round 5)
+                st = jax.vmap(online._seed_full_prior)(st, pr, phase)
+            else:
+                # round-4 config: first plain outer, second monitored
+                st = online.solve_online_batch(st, x0n, p1)
             st, report = monitor.monitored_constrained_tick(
                 online, st, x0n, p1,
                 x_safe=prob.initial_state, u_safe=prob.static_input,
             )
-            return st, p1, w1, report
+            if args.prior:
+                pr = jax.vmap(
+                    online._update_full_prior, in_axes=(0, 0, 0, None)
+                )(pr, st, phase, 1.0)
+                # a reset member's tables encode its divergence — wipe
+                # them with the rest of its multiplier state
+                ok = report.healthy
+                pr = jax.tree.map(
+                    lambda l: jnp.where(
+                        ok.reshape((-1,) + (1,) * (l.ndim - 1)),
+                        l, jnp.zeros_like(l),
+                    ),
+                    pr,
+                )
+            return st, p1, w1, report, pr
     else:
         prob = build_srbd_problem(cfg, kangaroo_line_feet())
         solver = MSDDP(
@@ -257,8 +302,8 @@ def main():
                 w_ref=jnp.zeros((B, 3), dtype),
             )
             if args.constrained:
-                al_state, params, wpg_state, report = ctick(
-                    al_state, params, wpg_state, inp
+                al_state, params, wpg_state, report, prior_tables = ctick(
+                    al_state, params, wpg_state, inp, prior_tables
                 )
                 n_reset = B - int(np.sum(np.asarray(report.healthy)))
                 x = np.asarray(al_state.sol.X[:, 1])  # node-1 plan state
@@ -285,7 +330,7 @@ def main():
                 if args.constrained:
                     save_pytree(args.checkpoint, {
                         "al_state": al_state, "params": params,
-                        "wpg_state": wpg_state,
+                        "wpg_state": wpg_state, "pr": prior_tables,
                         "tick": jnp.asarray(t + 1, jnp.int32),
                     })
                 else:

@@ -26,11 +26,13 @@ the resumed windows match an uninterrupted run). The reference's only
 analog is in-process warm-starting (reference ddp.py:113-117).
 
 `--constrained` soaks the AL fleet-serving path instead (the
-tools/bench_isrbd.py workload: shifted warm starts, one frozen-penalty
-outer per tick over the walking gait) with violation-window health
-gates: finite states, fleet max scaled violation below 5e-3 per window
-(the 2-outer serving config holds ≤1e-3 steady with margin —
-BENCH_NOTES.md round 4), inner iterations healthy.
+tools/bench_isrbd.py workload: shifted warm starts, frozen-penalty
+outer updates per tick over the walking gait) with violation-window
+health gates: finite states, fleet max scaled violation below 5e-3 per
+window, inner iterations healthy. `--prior [--czw W]` switches to the
+round-5 serving config (full-field gait-phase multiplier tables +
+stiff cz rows, default ONE outer — BENCH_NOTES.md round 5); without it
+the round-4 2-outer config runs.
 """
 
 import json
@@ -47,7 +49,8 @@ import numpy as np
 
 def main_constrained(batch=256, ticks=1000, window=100,
                      online_iters=1, outers=2,
-                     checkpoint=None, resume=False):
+                     checkpoint=None, resume=False,
+                     prior=False, cz_w=400.0):
     window = max(1, min(window, ticks))
     from srbd_horizon_tpu.config import SRBDConfig
     from srbd_horizon_tpu.models.kangaroo import kangaroo_line_feet
@@ -58,7 +61,8 @@ def main_constrained(batch=256, ticks=1000, window=100,
 
     dtype = jnp.float32
     cfg = SRBDConfig(dtype=dtype)
-    prob = build_isrbd_problem(cfg, kangaroo_line_feet())
+    prob = build_isrbd_problem(cfg, kangaroo_line_feet(),
+                               cz_rho_weight=cz_w)
     ddp_off, al_off = al_serving_options(max_iters=15)
     offline = ALDDP(prob.ocp, ddp_opts=ddp_off, al_opts=al_off)
     ddp_on, al_on = al_serving_options(max_iters=online_iters)
@@ -75,24 +79,48 @@ def main_constrained(batch=256, ticks=1000, window=100,
         jax.vmap(lambda x: offline.init(x, U0=U0))(x0), x0, params
     )
     wpg = WalkingPatternGenerator.build(0.0, ns, dtype=dtype)
+    period = 2 * wpg.step_nodes
+    # --prior: the round-5 serving config — full-field gait-phase
+    # multiplier tables (ALDDP.FullPhasePrior) seeded into every tick
+    pr = jax.vmap(
+        lambda _: online.init_full_phase_prior(period, dtype)
+    )(jnp.arange(B))
 
-    def tick(st, params, wpg_state, action, rdot_ref):
+    def tick(st, params, wpg_state, action, rdot_ref, pr):
+        phase = wpg_state.step_counter % period
         p1, w1 = jax.vmap(
             lambda p, s, a: wpg.advance(p, s, a)
         )(params, wpg_state, action)
         p1["rdot_ref"] = p1["rdot_ref"].at[:, 1:].set(rdot_ref[:, None, :])
         x0n = st.sol.X[:, 1]
-        st = online.serving_tick_batch(st, x0n, p1, outers=outers)
-        return st, p1, w1
+        if prior:
+            st, pr = online.serving_tick_batch(
+                st, x0n, p1, outers=outers, prior=pr, phase=phase
+            )
+        else:
+            st = online.serving_tick_batch(st, x0n, p1, outers=outers)
+        return st, p1, w1, pr
 
-    tick_j = jax.jit(tick, donate_argnums=(0, 1, 2))
+    tick_j = jax.jit(tick, donate_argnums=(0, 1, 2, 5))
     wpg_state = jax.vmap(lambda _: wpg.init_state())(jnp.arange(B))
     action = jnp.ones((B,), jnp.int32)
     rdot_ref = jax.device_put(
         jnp.tile(jnp.array([[0.1, 0.0, 0.0]], dtype), (B, 1))
     )
-    st, params, wpg_state = tick_j(st, params, wpg_state, action, rdot_ref)
+    st, params, wpg_state, pr = tick_j(
+        st, params, wpg_state, action, rdot_ref, pr
+    )
     float(jnp.sum(st.viol))  # compile + drain
+    if prior:
+        # table warmup: the per-phase tables start empty and the first
+        # cycles run effectively prior-less at the stiff cz weights —
+        # let them converge before the gated windows (same discipline
+        # as tools/bench_isrbd.py's 3-cycle prior warmup)
+        for _ in range(3 * period):
+            st, params, wpg_state, pr = tick_j(
+                st, params, wpg_state, action, rdot_ref, pr
+            )
+        float(jnp.sum(st.viol))
 
     # Crash-resume (runtime/checkpoint.py): restore the full fleet state
     # — solver plan + AL multipliers + params + gait phase + window
@@ -107,11 +135,11 @@ def main_constrained(batch=256, ticks=1000, window=100,
         from srbd_horizon_tpu.runtime.checkpoint import load_pytree
 
         template = {"st": st, "params": params, "wpg_state": wpg_state,
-                    "window": jnp.asarray(0, jnp.int32)}
+                    "pr": pr, "window": jnp.asarray(0, jnp.int32)}
         try:
             snap = load_pytree(checkpoint, template)
-            st, params, wpg_state = (
-                snap["st"], snap["params"], snap["wpg_state"]
+            st, params, wpg_state, pr = (
+                snap["st"], snap["params"], snap["wpg_state"], snap["pr"]
             )
             w_start = int(snap["window"])
             print(f"resumed from {checkpoint} at window {w_start}",
@@ -126,8 +154,8 @@ def main_constrained(batch=256, ticks=1000, window=100,
     for w in range(w_start, ticks // window):
         t0 = time.perf_counter()
         for _ in range(window):
-            st, params, wpg_state = tick_j(
-                st, params, wpg_state, action, rdot_ref
+            st, params, wpg_state, pr = tick_j(
+                st, params, wpg_state, action, rdot_ref, pr
             )
         viol = np.asarray(st.viol)   # host read = drain
         dt_w = (time.perf_counter() - t0) / window
@@ -148,7 +176,7 @@ def main_constrained(batch=256, ticks=1000, window=100,
 
             save_pytree(checkpoint, {
                 "st": st, "params": params, "wpg_state": wpg_state,
-                "window": jnp.asarray(w + 1, jnp.int32),
+                "pr": pr, "window": jnp.asarray(w + 1, jnp.int32),
             })
 
     wall = time.perf_counter() - t_start
@@ -293,17 +321,30 @@ if __name__ == "__main__":
         i = argv.index("--window")
         window = int(argv[i + 1])
         argv = argv[:i] + argv[i + 2:]
+    cz_w = 400.0
+    if "--czw" in argv:
+        i = argv.index("--czw")
+        cz_w = float(argv[i + 1])
+        argv = argv[:i] + argv[i + 2:]
+    outers = None
+    if "--outers" in argv:
+        i = argv.index("--outers")
+        outers = int(argv[i + 1])
+        argv = argv[:i] + argv[i + 2:]
     resume = "--resume" in argv
+    prior = "--prior" in argv
     if "--cpu" in argv:
         jax.config.update("jax_platforms", "cpu")
     constrained = "--constrained" in argv
     argv = [a for a in argv
-            if a not in ("--cpu", "--constrained", "--resume")]
+            if a not in ("--cpu", "--constrained", "--resume", "--prior")]
     b = int(argv[0]) if len(argv) > 0 else (256 if constrained else 512)
     t = int(argv[1]) if len(argv) > 1 else 1000
     sys.exit(
         main_constrained(b, t, window=window, checkpoint=checkpoint,
-                         resume=resume)
+                         resume=resume, prior=prior, cz_w=cz_w,
+                         outers=(outers if outers is not None
+                                 else (1 if prior else 2)))
         if constrained
         else main(b, t, window=window, checkpoint=checkpoint, resume=resume)
     )
