@@ -21,9 +21,14 @@ Three operating points, all measured (BASELINE.md target table):
     not gated — see the inline comment at the realtime_ok field).
   - CONSTRAINED (`constrained` field): the full-NLP isrbd AL-serving
     fleet (tools/bench_isrbd.py) at its sweet-spot batch B=256 — the
-    reference's IPOPT/gnsqp workload; `constrained_at_scale` repeats it
-    at B=4096 with cache-blocked execution (chunk=256), which holds the
-    sweet-spot rate at 16× the fleet.
+    reference's IPOPT/gnsqp workload — under the round-5 serving config
+    (gait-phase multiplier tables + stiff cz rows, one outer/tick);
+    `constrained_at_scale` repeats it at B=4096 with cache-blocked
+    execution (chunk=256), which holds the sweet-spot rate at 16× the
+    fleet.
+  - SHARDED (`sharded` field): the serving tick under shard_map on the
+    available mesh (tools/bench_sharded.py) — 1-device overhead gate /
+    N-device scaling efficiency.
 
 The measured unit of work is one full warm-started MPC tick of the
 dsrbd_example.py loop (reference-shift + WPG advance + MS-DDP solve with the
@@ -274,26 +279,41 @@ def main(batch: int = 4096, n_ticks: int = 10, ns: int = 20,
         sys.path.insert(0, str(__import__("pathlib").Path(__file__).parent))
         from tools.bench_isrbd import measure as _constrained_measure
 
-        # Round-4 serving config: shifted warm starts + per-row AL
-        # stiffness (OCP.eq_rho_weight) + TWO single-inner-iteration
-        # outer updates per tick (the second λ-update re-centers the
-        # stale multiplier at the touchdown schedule discontinuity that
-        # set the old violation floor). Measured: 18174 solve/s at
-        # 9.5e-4 final violation (B=256; round 3 was 12419 at 2.1e-2);
-        # 1000-tick soak 18514 solve/s sustained, max_viol 1.4e-3, all
-        # health windows green (BENCH_NOTES.md round 4).
+        # Round-5 serving config: shifted warm starts + full-field
+        # gait-phase multiplier tables (ALDDP.FullPhasePrior — λ*(node,
+        # phase) learned across cycles) + stiff contact-height rows
+        # (cz_rho_weight=3200; the table-seeded λ removes the
+        # multiplier-windup ceiling that capped it at 400) + ONE
+        # single-inner-iteration outer per tick. Half the outer cost of
+        # the round-4 2-outer config at comparable feasibility
+        # (BENCH_NOTES.md round 5; the r4 config measured 18.2k at
+        # 9.5e-4, r5 measured ~33k at ~1.3e-3 window).
         result["constrained"] = _constrained_measure(
-            batch=256, n_ticks=20, shift=True, online_iters=1, outers=2
+            batch=256, n_ticks=20, shift=True, online_iters=1, outers=1,
+            prior="full", cz_w=3200.0,
         )
         # the same workload at 16× the fleet, cache-blocked to the
         # sweet-spot chunk (runtime.chunked.chunk_map — BENCH_NOTES.md
         # round 3: holds the B=256 rate at any fleet size)
         result["constrained_at_scale"] = _constrained_measure(
             batch=4096, n_ticks=10, chunk=256, shift=True,
-            online_iters=1, outers=2
+            online_iters=1, outers=1, prior="full", cz_w=3200.0,
         )
     except Exception as e:  # pragma: no cover - defensive
         result["constrained"] = {"error": str(e)[:200]}
+
+    # SHARDED operating point (pod-ready scaling artifact): the same
+    # serving tick through parallel.mesh.sharded_batched_tick on
+    # whatever mesh exists. On the 1-real-chip backend this measures
+    # the pure shard_map dispatch overhead (gated ≤2% in the tool —
+    # "sharding is free" shown, not assumed); on an N-chip slice the
+    # same code reports per-device rate + scaling efficiency.
+    try:
+        from tools.bench_sharded import measure_unconstrained as _sharded
+
+        result["sharded"] = _sharded(1024, 10)
+    except Exception as e:  # pragma: no cover - defensive
+        result["sharded"] = {"error": str(e)[:200]}
 
     print(json.dumps(result))
 

@@ -75,12 +75,19 @@ def sharded_batched_solve(solver, mesh: Mesh, axis: str = SCENARIO_AXIS):
     return jax.jit(_solve_shard)
 
 
-def sharded_batched_tick(loop, mesh: Mesh, axis: str = SCENARIO_AXIS):
+def sharded_batched_tick(loop, mesh: Mesh, axis: str = SCENARIO_AXIS,
+                         donate: bool = False):
     """One closed-loop MPC tick for a sharded scenario fleet.
 
     `f(carries, tick_inputs) -> (carries, outs, metrics)`; per-scenario
     state (sim state, plan, params, gait phase) stays resident on its chip
-    across ticks — no host round-trips in the control loop."""
+    across ticks — no host round-trips in the control loop.
+
+    `donate=True` donates the carry (the previous tick's plan/params
+    buffers are dead after the call — the same serving-loop donation the
+    unsharded `MPCLoop.tick_batch` path uses; without it the sharded
+    tick pays an extra device-side carry copy). Leave False when the
+    caller reuses the input carry (e.g. equivalence tests)."""
 
     @partial(
         jax.shard_map,
@@ -104,7 +111,7 @@ def sharded_batched_tick(loop, mesh: Mesh, axis: str = SCENARIO_AXIS):
         )
         return carries, outs, metrics
 
-    return jax.jit(_tick_shard)
+    return jax.jit(_tick_shard, donate_argnums=(0,) if donate else ())
 
 
 def sharded_monitored_tick(loop, monitor, mesh: Mesh, x_safe,
@@ -173,7 +180,7 @@ def sharded_constrained_tick(alddp, mesh: Mesh, axis: str = SCENARIO_AXIS):
 
 
 def sharded_serving_tick(alddp, mesh: Mesh, outers: int = 2,
-                         axis: str = SCENARIO_AXIS):
+                         axis: str = SCENARIO_AXIS, donate: bool = False):
     """The production constrained serving tick
     (ALDDP.serving_tick_batch — shifted warm start + `outers`
     frozen-penalty updates, BENCH_NOTES.md round 4) under shard_map:
@@ -198,7 +205,9 @@ def sharded_serving_tick(alddp, mesh: Mesh, outers: int = 2,
         )
         return st, metrics
 
-    return jax.jit(_tick_shard)
+    # donate=True: serving-loop donation of the AL state (see
+    # sharded_batched_tick) — leave False when the caller reuses it
+    return jax.jit(_tick_shard, donate_argnums=(0,) if donate else ())
 
 
 def replicate_params(params: Dict[str, jnp.ndarray], batch: int):
