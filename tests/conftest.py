@@ -25,6 +25,17 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
+# Persistent (on-disk) XLA compilation cache: the module-teardown
+# jax.clear_caches() below (segfault workaround) drops every in-memory
+# executable, so identical problems recompile in later modules — the
+# disk cache turns those recompiles (and whole re-runs of the suite)
+# into cache hits. Keyed by HLO hash, so it is safe across code edits.
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get("SRBD_XLA_CACHE", "/tmp/srbd_horizon_xla_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 
 # The full 160-test suite segfaults XLA's CPU compiler at ~test 127
 # (reproduced 4/4 at tests/test_robustness.py::test_steps_onto_raised_

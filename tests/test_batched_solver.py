@@ -155,8 +155,12 @@ class TestTickBatch:
             rdot_ref=jnp.tile(jnp.array([0.2, 0.0, 0.0])[None], (4, 1)),
             w_ref=jnp.zeros((4, 3)),
         )
-        c_ref, o_ref = jax.vmap(loop.tick)(carries, inp)
-        c_got, o_got = jax.jit(loop.tick_batch)(carries, inp)
+        # jit both paths once — the eager (op-by-op) ticks made this the
+        # second-slowest test in the suite at identical coverage
+        vtick = jax.jit(jax.vmap(loop.tick))
+        btick = jax.jit(loop.tick_batch)
+        c_ref, o_ref = vtick(carries, inp)
+        c_got, o_got = btick(carries, inp)
         np.testing.assert_allclose(
             np.asarray(o_got.x), np.asarray(o_ref.x), rtol=1e-7, atol=1e-8
         )
@@ -166,8 +170,8 @@ class TestTickBatch:
         )
         # multi-tick consistency
         for _ in range(3):
-            c_ref, o_ref = jax.vmap(loop.tick)(c_ref, inp)
-            c_got, o_got = loop.tick_batch(c_got, inp)
+            c_ref, o_ref = vtick(c_ref, inp)
+            c_got, o_got = btick(c_got, inp)
         np.testing.assert_allclose(
             np.asarray(o_got.x), np.asarray(o_ref.x), rtol=1e-6, atol=1e-7
         )

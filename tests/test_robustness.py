@@ -66,18 +66,26 @@ class TestTerrainOffset:
         carry, _ = run(carry, walking_schedule(20, vx=0.2, start=5,
                                                dtype=jnp.float64))
         # now step onto 4 cm terrain: advance the WPG manually with
-        # terrain_z (the per-scenario terrain capability)
-        params, wpg_state = carry.params, carry.wpg_state
-        for _ in range(25):
+        # terrain_z (the per-scenario terrain capability). One jitted
+        # tick reused 25× — the eager per-tick solve was ~6 s/tick of
+        # op-by-op dispatch (the old single slowest test in the suite)
+        @jax.jit
+        def terrain_tick(carry):
             params, wpg_state = loop.wpg.advance(
-                params, wpg_state, 1, terrain_z=0.04
+                carry.params, carry.wpg_state, 1, terrain_z=0.04
             )
-            carry = carry._replace(params=params, wpg_state=wpg_state)
             sol = loop.solver.solve(carry.sol, carry.x, params)
             x_next = loop.ocp.step(
-                carry.x, sol.U[0], loop.ocp.params_at(params, 0), loop.ocp.dt
+                carry.x, sol.U[0], loop.ocp.params_at(params, 0),
+                loop.ocp.dt,
             )
-            carry = carry._replace(x=x_next, sol=sol)
+            return carry._replace(
+                x=x_next, sol=sol, params=params, wpg_state=wpg_state
+            )
+
+        for _ in range(25):
+            carry = terrain_tick(carry)
+        params = carry.params
         c_ref = np.asarray(params["c_ref"])
         # the whole horizon's stance references have migrated to 4 cm
         assert c_ref.max() > 0.04  # swing apex above terrain
