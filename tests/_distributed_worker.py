@@ -20,6 +20,14 @@ os.environ["XLA_FLAGS"] = (
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# share the suite's persistent compilation cache (tests/conftest.py):
+# both workers compile the same sharded tick — the second one (and
+# every re-run) hits the disk cache instead of recompiling
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get("SRBD_XLA_CACHE", "/tmp/srbd_horizon_xla_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 import numpy as np  # noqa: E402
 import jax.numpy as jnp  # noqa: E402

@@ -39,9 +39,26 @@ def main(B=8, ticks=120):
     n_relvel = 4
     cz_sl = slice(n_relvel, n_relvel + nc)
 
-    def run(name, outers, use_prior):
+    def run(name, outers, use_prior, full=False, cz_w=None):
+        import dataclasses
+
+        ocp = prob.ocp
+        if cz_w is not None:
+            w = np.asarray(ocp.eq_rho_weight).copy()
+            w[n_relvel:n_relvel + nc] = cz_w
+            w_T = np.asarray(ocp.eq_rho_weight_T).copy()
+            w_T[n_relvel:n_relvel + nc] = cz_w
+            ocp = dataclasses.replace(
+                ocp, eq_rho_weight=jnp.asarray(w, dtype),
+                eq_rho_weight_T=jnp.asarray(w_T, dtype))
         ddp_on, al_on = al_serving_options(max_iters=1)
-        online = ALDDP(prob.ocp, ddp_opts=ddp_on, al_opts=al_on)
+        online = ALDDP(ocp, ddp_opts=ddp_on, al_opts=al_on)
+        seed_fn = (online._seed_full_prior if full
+                   else online._seed_from_prior)
+        upd_fn = (online._update_full_prior if full
+                  else online._update_prior)
+        mk = (online.init_full_phase_prior if full
+              else online.init_phase_prior)
         ns = prob.ocp.ns
         x0 = jnp.tile(prob.initial_state[None], (B, 1))
         x0 = x0 + 0.01 * jax.random.normal(jax.random.key(11), x0.shape,
@@ -54,9 +71,7 @@ def main(B=8, ticks=120):
         st = jax.jit(offline.solve_batch)(
             jax.vmap(lambda x: offline.init(x, U0=U0))(x0), x0, params
         )
-        pr = jax.vmap(lambda _: online.init_phase_prior(period, dtype))(
-            jnp.arange(B)
-        )
+        pr = jax.vmap(lambda _: mk(period, dtype))(jnp.arange(B))
 
         def cz_by_node(st, params):
             h, hT, _, _ = jax.vmap(online._constraints)(
@@ -76,13 +91,13 @@ def main(B=8, ticks=120):
             x0n = st.sol.X[:, 1]
             st = jax.vmap(online.shift_warmstart)(st)
             if use_prior:
-                st = jax.vmap(online._seed_from_prior)(st, pr, phase)
+                st = jax.vmap(seed_fn)(st, pr, phase)
             for _ in range(outers):
                 st = online.solve_online_batch(st, x0n, p1)
             if use_prior:
                 pr = jax.vmap(
-                    online._update_prior, in_axes=(0, 0, 0, None)
-                )(pr, st, phase, 0.5)
+                    upd_fn, in_axes=(0, 0, 0, None)
+                )(pr, st, phase, 1.0)
             return st, p1, w1, pr, cz_by_node(st, p1), phase[0]
 
         tick_j = jax.jit(tick, donate_argnums=(0, 1, 2, 5))
@@ -112,8 +127,7 @@ def main(B=8, ticks=120):
             f"{v:.0e}" if v > 1e-5 else "." for v in by_phase
         ))
 
-    run("1 outer + prior", 1, True)
-    run("2 outers, no prior", 2, False)
+    run("1x1 FULL prior czw=3200", 1, True, full=True, cz_w=3200.0)
 
 
 if __name__ == "__main__":
