@@ -48,12 +48,33 @@ class WPGState(NamedTuple):
 
 
 def _build_cycles(c_init_z: float, step_nodes: int, ss_share: float,
-                  ds_share: float) -> Tuple[np.ndarray, ...]:
-    """Precompute the left/right step cycles (wpg.py:26-64)."""
+                  ds_share: float,
+                  swing_profile: str = "reference") -> Tuple[np.ndarray, ...]:
+    """Precompute the left/right step cycles (wpg.py:26-64).
+
+    swing_profile:
+      "reference" — the reference's table: 0.1·sin over a 50-sample
+        linspace indexed at k+1 for k < ss (wpg.py:28 relies on numpy's
+        default count=50). Because only the first ss≈8 of 50 samples
+        are used, the swing ends at 0.1·sin(8π/49) ≈ 4.9 cm and the
+        touchdown commands a 5 cm drop in ONE node — dynamically costly
+        to track (BENCH_NOTES round 5: it sets the 1.3e-3 closed-loop
+        serving floor at the x0 pin).
+      "smooth" — beyond-reference opt-in: the same 0.1·sin apex spread
+        over the ACTUAL ss nodes (sin(π·(k+1)/(ss+1))), so lift-off and
+        touchdown are symmetric ~4 cm/node ramps with no terminal
+        cliff. Same contact timing, same switch tables; only the swing
+        z-trajectory changes.
+    """
     ss = int(ss_share * step_nodes)
     ds = int(ds_share * step_nodes)
-    # numpy default linspace count = 50 (wpg.py:28)
-    sin = 0.1 * np.sin(np.linspace(0, np.pi, 50))
+    if swing_profile == "smooth":
+        sin = 0.1 * np.sin(np.pi * np.arange(50) / (ss + 1))
+    elif swing_profile == "reference":
+        # numpy default linspace count = 50 (wpg.py:28)
+        sin = 0.1 * np.sin(np.linspace(0, np.pi, 50))
+    else:
+        raise ValueError(f"unknown swing_profile {swing_profile!r}")
 
     def cycle(swing_first: bool):
         z, sw = [], []
@@ -110,10 +131,12 @@ class WalkingPatternGenerator:
         ds_share: float = 0.2,
         dtype=jnp.float32,
         group_mask=None,
+        swing_profile: str = "reference",
     ) -> "WalkingPatternGenerator":
         step_nodes = int(step_duration / dt)
         l_c, l_s, r_c, r_s = _build_cycles(
-            c_init_z, step_nodes, ss_share, ds_share
+            c_init_z, step_nodes, ss_share, ds_share,
+            swing_profile=swing_profile,
         )
         return WalkingPatternGenerator(
             nodes=nodes,

@@ -195,3 +195,47 @@ class TestClosedLoopLIP:
         assert abs(c0_x[-1] - r[-1, 0]) < 0.5
         # solver stays healthy while walking
         assert float(np.max(out.defect_norm)) < 1e-4
+
+
+class TestSwingProfiles:
+    """WPG swing_profile option (round 5): "reference" reproduces the
+    linspace-50 quirk exactly (wpg.py:28 — only the first ss samples of
+    a 50-point half-sine are used, so touchdown commands a ~5 cm drop
+    in ONE node); "smooth" spreads the same 0.1 apex over the actual
+    single-support nodes, removing the cliff (measured to cut the
+    online serving floor 1.3e-3 → 5.9e-4, BENCH_NOTES round 5)."""
+
+    def _cycle(self, profile):
+        from srbd_horizon_tpu.wpg import WalkingPatternGenerator
+
+        wpg = WalkingPatternGenerator.build(
+            0.0, 20, swing_profile=profile
+        )
+        return np.asarray(wpg.l_cycle), np.asarray(wpg.l_switch)
+
+    def test_reference_has_touchdown_cliff(self):
+        z, sw = self._cycle("reference")
+        # swing nodes 2..9 (ds=2, ss=8); last swing node ends high
+        sin50 = 0.1 * np.sin(np.linspace(0, np.pi, 50))
+        np.testing.assert_allclose(z[2:10], sin50[1:9], atol=1e-12)
+        drops = z[:-1] - z[1:]
+        assert drops.max() > 0.045  # the one-node ~5 cm touchdown drop
+
+    def test_smooth_is_cliff_free_same_timing(self):
+        z_r, sw_r = self._cycle("reference")
+        z_s, sw_s = self._cycle("smooth")
+        # identical contact timing (switch tables unchanged)
+        np.testing.assert_array_equal(sw_r, sw_s)
+        # same apex scale, no node-to-node step beyond ~4.1 cm
+        assert abs(z_s.max() - 0.1) < 0.015
+        assert np.abs(np.diff(z_s)).max() < 0.042
+        # touchdown lands AT the ground (no terminal cliff)
+        assert z_s[9] < 0.041  # last swing node already descending
+
+    def test_unknown_profile_raises(self):
+        import pytest
+
+        from srbd_horizon_tpu.wpg import WalkingPatternGenerator
+
+        with pytest.raises(ValueError, match="swing_profile"):
+            WalkingPatternGenerator.build(0.0, 20, swing_profile="bezier")

@@ -37,6 +37,12 @@ Usage: python tools/bench_isrbd.py [batch] [ticks] [--dense] [--no-ucols]
               multiplier field — each (node, phase) entry converges
               across gait cycles. The warmup runs one extra gait cycle
               to populate the tables.
+  --smooth-swing
+              beyond-reference swing profile (WPG swing_profile=
+              "smooth"): the 0.1 sin apex spread over the actual
+              single-support nodes instead of the reference's
+              linspace-50 head — removes the 5 cm one-node touchdown
+              cliff that sets the closed-loop serving floor
   --czw W     contact-height (cz) AL stiffness override
               (build_isrbd_problem cz_rho_weight; default 400 — the
               round-4 windup-safe value; the round-5 prior configs run
@@ -59,7 +65,8 @@ def measure(batch: int = 1024, n_ticks: int = 30, dense: bool = False,
             no_ucols: bool = False, sync: bool = False,
             chunk: int = 0, shift: bool = False,
             online_iters: int = 5, outers: int = 1,
-            prior: str = "", cz_w: float = 400.0) -> dict:
+            prior: str = "", cz_w: float = 400.0,
+            smooth_swing: bool = False) -> dict:
     """Run the constrained fleet benchmark; returns the result dict
     (importable — bench.py embeds this as its `constrained` field)."""
     from srbd_horizon_tpu.config import SRBDConfig
@@ -115,7 +122,10 @@ def measure(batch: int = 1024, n_ticks: int = 30, dense: bool = False,
     jax.block_until_ready(st.viol)
     seed_viol = float(jnp.max(st.viol))
 
-    wpg = WalkingPatternGenerator.build(0.0, ns, dtype=dtype)
+    wpg = WalkingPatternGenerator.build(
+        0.0, ns, dtype=dtype,
+        swing_profile="smooth" if smooth_swing else "reference",
+    )
     period = 2 * wpg.step_nodes
     # --prior tail|full: gait-phase-indexed multiplier priors
     # (ALDDP.PhasePrior / FullPhasePrior). "tail" seeds only the
@@ -136,7 +146,7 @@ def measure(batch: int = 1024, n_ticks: int = 30, dense: bool = False,
     else:
         mk_prior = online.init_phase_prior  # carried but unused
 
-    def tick(st, params, wpg_state, action, rdot_ref, pr):
+    def tick(st, params, wpg_state, action, rdot_ref, pr, viol_hi):
         # cycle phase of THIS tick's terminal write (read before advance)
         phase = wpg_state.step_counter % period
         p1, w1 = jax.vmap(
@@ -161,14 +171,21 @@ def measure(batch: int = 1024, n_ticks: int = 30, dense: bool = False,
             pr = jax.vmap(
                 upd_fn, in_axes=(0, 0, 0, None)
             )(pr, st, phase, prior_ema)
-        return st, p1, w1, pr
+        # device-side running max of the fleet violation, carried INSIDE
+        # the jitted tick: an eager (un-jitted) update here costs two
+        # op-by-op dispatches per tick through the remote tunnel and
+        # breaks chained-dispatch pipelining (measured 14 -> 27 ms/tick)
+        viol_hi = jnp.maximum(viol_hi, jnp.max(st.viol))
+        return st, p1, w1, pr, viol_hi
 
     if chunk:
         from srbd_horizon_tpu.runtime.chunked import chunk_map
 
-        # action/rdot_ref are fleet-batched too, so the whole tick chunks
+        # action/rdot_ref are fleet-batched too, so the whole tick
+        # chunks; viol_hi is per-member inside chunk_map (reduced to a
+        # scalar at readout)
         tick = chunk_map(tick, chunk)
-    tick_j = jax.jit(tick, donate_argnums=(0, 1, 2, 5))
+    tick_j = jax.jit(tick, donate_argnums=(0, 1, 2, 5, 6))
 
     wpg_state = jax.vmap(lambda _: wpg.init_state())(jnp.arange(B))
     action = jnp.ones((B,), jnp.int32)
@@ -176,34 +193,37 @@ def measure(batch: int = 1024, n_ticks: int = 30, dense: bool = False,
     # per-member phase tables (members may sit at different gait phases)
     pr = jax.vmap(lambda _: mk_prior(period, dtype))(jnp.arange(B))
 
+    # the running window-max violation is carried through the jitted
+    # tick itself (per-member under chunk_map: chunked leading axis)
+    viol_hi = jnp.zeros((B,), dtype)
+
     # warmup/compile. With --prior, also run three full gait cycles so
     # the phase tables are populated AND converged before the measured
     # window (each (node, phase) entry receives one λ-update per cycle;
     # the cross-cycle iteration needs ~3 visits to settle — the same
     # steady-state discipline as the CPU battery, tools/diag_prior.py).
-    st, params, wpg_state, pr = tick_j(
-        st, params, wpg_state, action, rdot_ref, pr
+    st, params, wpg_state, pr, viol_hi = tick_j(
+        st, params, wpg_state, action, rdot_ref, pr, viol_hi
     )
     jax.block_until_ready(st.viol)
     if prior:
         for _ in range(3 * period):
-            st, params, wpg_state, pr = tick_j(
-                st, params, wpg_state, action, rdot_ref, pr
+            st, params, wpg_state, pr, viol_hi = tick_j(
+                st, params, wpg_state, action, rdot_ref, pr, viol_hi
             )
         jax.block_until_ready(st.viol)
 
-    # device-side running max over the window (tiny chained op — no host
-    # sync): the touchdown spike lands at specific gait phases, so the
-    # final tick's violation alone under-reports the envelope
-    viol_hi = jnp.zeros((), dtype)
+    # reset the envelope so it covers exactly the measured window (the
+    # touchdown spike lands at specific gait phases, so the final tick's
+    # violation alone under-reports it)
+    viol_hi = jnp.zeros((B,), dtype)
     lat_ms = []
     t0 = time.perf_counter()
     for _ in range(n_ticks):
         t1 = time.perf_counter()
-        st, params, wpg_state, pr = tick_j(
-            st, params, wpg_state, action, rdot_ref, pr
+        st, params, wpg_state, pr, viol_hi = tick_j(
+            st, params, wpg_state, action, rdot_ref, pr, viol_hi
         )
-        viol_hi = jnp.maximum(viol_hi, jnp.max(st.viol))
         if sync:
             jax.block_until_ready(st.viol)
             lat_ms.append(1e3 * (time.perf_counter() - t1))
@@ -211,7 +231,7 @@ def measure(batch: int = 1024, n_ticks: int = 30, dense: bool = False,
     dt_s = (time.perf_counter() - t0) / n_ticks
 
     viol_max = float(jnp.max(st.viol))
-    window_viol_max = float(viol_hi)
+    window_viol_max = float(jnp.max(viol_hi))
     out = {
         "metric": "isrbd_constrained_solves_per_s",
         "value": round(B / dt_s, 1),
@@ -230,6 +250,7 @@ def measure(batch: int = 1024, n_ticks: int = 30, dense: bool = False,
         "outers": outers,
         "phase_prior": prior,
         "cz_rho_weight": cz_w,
+        "swing_profile": "smooth" if smooth_swing else "reference",
     }
     if sync:
         import numpy as np
@@ -306,12 +327,14 @@ def main():
         else:
             prior = "tail"
             argv = argv[:i] + argv[i + 1:]
-    flags = ("--dense", "--no-ucols", "--sync", "--shift", "--cpu")
+    flags = ("--dense", "--no-ucols", "--sync", "--shift", "--cpu",
+             "--smooth-swing")
     args = [a for a in argv if a not in flags]
     dense = "--dense" in argv
     no_ucols = "--no-ucols" in argv
     sync = "--sync" in argv
     shift = "--shift" in argv
+    smooth_swing = "--smooth-swing" in argv
     if "--cpu" in argv:
         jax.config.update("jax_platforms", "cpu")
     batch = int(args[0]) if len(args) > 0 else 1024
@@ -319,7 +342,8 @@ def main():
     print(json.dumps(measure(
         batch, n_ticks, dense=dense, no_ucols=no_ucols, sync=sync,
         chunk=chunk, shift=shift, online_iters=online_iters,
-        outers=outers, prior=prior, cz_w=cz_w)))
+        outers=outers, prior=prior, cz_w=cz_w,
+        smooth_swing=smooth_swing)))
 
 
 if __name__ == "__main__":
