@@ -83,6 +83,13 @@ def main():
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+        # persistent compile cache (see tools/soak.py note): selftest
+        # daemons are spawned repeatedly by the test suite
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.environ.get("SRBD_XLA_CACHE", "/tmp/srbd_horizon_xla_cache"),
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     if args.f64:
         jax.config.update("jax_enable_x64", True)
     import jax.numpy as jnp

@@ -334,7 +334,17 @@ if __name__ == "__main__":
     resume = "--resume" in argv
     prior = "--prior" in argv
     if "--cpu" in argv:
+        import os
+
         jax.config.update("jax_platforms", "cpu")
+        # share the suite's persistent compilation cache: CPU soaks are
+        # spawned repeatedly by tests (crash-resume) and re-runs —
+        # identical executables should not recompile per process
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.environ.get("SRBD_XLA_CACHE", "/tmp/srbd_horizon_xla_cache"),
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     constrained = "--constrained" in argv
     argv = [a for a in argv
             if a not in ("--cpu", "--constrained", "--resume", "--prior")]
